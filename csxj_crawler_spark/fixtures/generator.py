@@ -1,0 +1,261 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — seed=42, no network.
+
+Generates the five crawl-side tables as parquet:
+
+* ``web_graph``       — the synthetic fetchable web (stands in for live HTTP)
+* ``seeds``           — the shared seed list the crawl ordering is judged on
+* ``robots``          — per-host disallow prefixes + crawl_delay budget
+* ``images_captions`` — payload table, EXACT schema of BASELINE.json:15
+* ``images_golden``   — decoded golden pixels for fidelity checks
+
+Everything is derived from ``numpy.random.RandomState(seed)`` so the same
+(seed, n_pages) always produces byte-identical tables.  Host names encode
+their source (``{source}-{k}.example``) mirroring the reference's four judged
+datasource suites (lesoir/lalibre/dhnet/sudinfo — BASELINE.json:6).  The
+host-size distribution is deliberately skewed (one host owns ~30% of pages)
+to exercise salting / AQE skew handling.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from csxj_crawler_spark import spec
+from csxj_crawler_spark.functions import images as img
+
+_VOCAB = (
+    "belgian news press article photo report brussels liege namur charleroi "
+    "politics sport culture economy weather traffic interview analysis live "
+    "update exclusive editor morning evening daily weekly city region world"
+).split()
+
+_SECTIONS = ("news", "sports", "culture", "private")
+
+
+def source_of_host(host: str) -> str:
+    """Hosts are named ``{source}-{k}.example``; the source is the prefix."""
+    return host.split("-", 1)[0]
+
+
+def make_hosts(rng: np.random.RandomState) -> list[str]:
+    hosts = []
+    for src in spec.SOURCE_ORDER:
+        n = 4 if src == "lesoir" else 3
+        hosts += [f"{src}-{k}.example" for k in range(n)]
+    return hosts
+
+
+def _messify(rng: np.random.RandomState, url: str) -> str:
+    """Render a canonical URL the way a scraped page might spell it."""
+    scheme, rest = url.split("://", 1)
+    host, path = rest.split("/", 1)
+    path = "/" + path
+    r = rng.rand()
+    if r < 0.15:
+        host = host.upper()
+    if rng.rand() < 0.15:
+        host = host + ":80"
+    if rng.rand() < 0.2:
+        path = path + "/"
+    q = []
+    if rng.rand() < 0.25:
+        q.append("utm_source=feed&utm_medium=web")
+    if rng.rand() < 0.1:
+        q.append("fbclid=abc123")
+    if rng.rand() < 0.1:
+        q.append("page=1")  # NOT tracking — must survive canonicalization
+    out = f"{scheme}://{host}{path}"
+    if q:
+        out += "?" + "&".join(q)
+    if rng.rand() < 0.3:
+        out += "#section-%d" % rng.randint(9)
+    return out
+
+
+def generate(
+    out_dir: str,
+    n_pages: int = 2000,
+    seed: int = 42,
+    with_images: bool = True,
+    n_seeds_per_source: int = 10,
+) -> dict[str, str]:
+    """Write all fixture tables under ``out_dir``; returns name→path map."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    hosts = make_hosts(rng)
+
+    # --- page population: skewed host assignment --------------------------
+    weights = np.full(len(hosts), 0.7 / (len(hosts) - 1))
+    weights[0] = 0.3  # lesoir-0.example owns ~30% of the web
+    host_idx = rng.choice(len(hosts), size=n_pages, p=weights)
+    sections = rng.choice(len(_SECTIONS), size=n_pages, p=[0.5, 0.2, 0.2, 0.1])
+    urls = np.array(
+        [
+            f"http://{hosts[hi]}/{_SECTIONS[si]}/art-{i:05d}"
+            for i, (hi, si) in enumerate(zip(host_idx, sections))
+        ]
+    )
+    status = rng.choice([200, 404, 500], size=n_pages, p=[0.92, 0.05, 0.03])
+    fetch_cost_ms = rng.randint(10, 200, size=n_pages).astype(np.int32)
+
+    # --- outlinks: mostly same-source, some cross-source, messy spellings -
+    outlinks: list[list[dict]] = []
+    by_source: dict[str, np.ndarray] = {}
+    page_sources = np.array([source_of_host(hosts[hi]) for hi in host_idx])
+    for s in spec.SOURCE_ORDER:
+        by_source[s] = np.where(page_sources == s)[0]
+    for i in range(n_pages):
+        k = rng.randint(0, 13)
+        links = []
+        src = page_sources[i]
+        for _ in range(k):
+            if rng.rand() < 0.8 and len(by_source[src]) > 0:
+                j = by_source[src][rng.randint(len(by_source[src]))]
+            else:
+                j = rng.randint(n_pages)
+            links.append(
+                {
+                    "url": _messify(rng, urls[j]),
+                    "title": " ".join(rng.choice(_VOCAB, 3)),
+                    "rel": "internal" if page_sources[j] == src else "external",
+                }
+            )
+        if rng.rand() < 0.05:  # dangling external link → fetch-error path
+            links.append(
+                {
+                    "url": f"http://offsite-{rng.randint(5)}.example/x{rng.randint(99)}",
+                    "title": "offsite",
+                    "rel": "external",
+                }
+            )
+        if links and rng.rand() < 0.2:  # literal duplicate link on the page
+            links.append(dict(links[0]))
+        outlinks.append(links)
+
+    image_ids = np.where(
+        status == 200, np.array([f"img{i:08d}" for i in range(n_pages)]), None
+    )
+
+    link_t = pa.struct(
+        [("url", pa.string()), ("title", pa.string()), ("rel", pa.string())]
+    )
+    web_graph = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array([hosts[hi] for hi in host_idx], pa.string()),
+            "outlinks": pa.array(outlinks, pa.list_(link_t)),
+            "image_id": pa.array(image_ids, pa.string()),
+            "status": pa.array(status, pa.int32()),
+            "fetch_cost_ms": pa.array(fetch_cost_ms, pa.int32()),
+        }
+    )
+
+    # --- seeds: per source in SOURCE_ORDER, messy + duplicate spellings ---
+    seed_rows = []
+    for src in spec.SOURCE_ORDER:
+        pool = by_source[src]
+        picks = pool[rng.randint(len(pool), size=n_seeds_per_source)]
+        for j in picks:
+            seed_rows.append((_messify(rng, urls[j]), src))
+        # duplicate of the first pick under a different spelling
+        seed_rows.append((_messify(rng, urls[picks[0]]), src))
+    seeds = pa.table(
+        {
+            "url": pa.array([r[0] for r in seed_rows], pa.string()),
+            "source": pa.array([r[1] for r in seed_rows], pa.string()),
+            "priority": pa.array([1.0] * len(seed_rows), pa.float64()),
+            "seed_rank": pa.array(range(len(seed_rows)), pa.int64()),
+        }
+    )
+
+    # --- robots -----------------------------------------------------------
+    delays = rng.choice([1.0, 2.0, 2.5, 5.0], size=len(hosts))
+    disallow = []
+    for hi, h in enumerate(hosts):
+        if h == "sudinfo-2.example":
+            disallow.append(["/"])  # fully disallowed host
+        elif rng.rand() < 0.5:
+            disallow.append(["/private"])
+        else:
+            disallow.append([])
+    robots = pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "disallow": pa.array(disallow, pa.list_(pa.string())),
+            "crawl_delay": pa.array(delays, pa.float64()),
+        }
+    )
+
+    paths = {}
+    tables = {"web_graph": web_graph, "seeds": seeds, "robots": robots}
+
+    # --- images_captions + golden pixels ----------------------------------
+    if with_images:
+        img_rows = np.where(status == 200)[0]
+        n_img = len(img_rows)
+        fmts = rng.choice(["raw", "ppm", "png"], size=n_img)
+        ws = rng.randint(16, 65, size=n_img).astype(np.int32)
+        hs = rng.randint(16, 65, size=n_img).astype(np.int32)
+        pixels: list[np.ndarray] = []
+        ids, blobs, caps, phashes = [], [], [], []
+        for k in range(n_img):
+            if k > 20 and rng.rand() < 0.05:
+                # near-duplicate of an earlier image: same pixels + tiny noise
+                src_k = rng.randint(k)
+                base = pixels[src_k]
+                noise = rng.randint(-2, 3, size=base.shape)
+                pix = np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+                ws[k], hs[k] = ws[src_k], hs[src_k]
+            else:
+                # low-frequency random field → phash bits are stable
+                small = rng.randint(0, 256, size=(4, 4, 3)).astype(np.float64)
+                yy = np.linspace(0, 3, hs[k])[:, None]
+                xx = np.linspace(0, 3, ws[k])[None, :]
+                y0 = np.floor(yy).astype(int)
+                x0 = np.floor(xx).astype(int)
+                y1 = np.minimum(y0 + 1, 3)
+                x1 = np.minimum(x0 + 1, 3)
+                fy = (yy - y0)[..., None]
+                fx = (xx - x0)[..., None]
+                pix = (
+                    small[y0, x0] * (1 - fy) * (1 - fx)
+                    + small[y0, x1] * (1 - fy) * fx
+                    + small[y1, x0] * fy * (1 - fx)
+                    + small[y1, x1] * fy * fx
+                ).astype(np.uint8)
+            pixels.append(pix)
+            ids.append(f"img{img_rows[k]:08d}")
+            blobs.append(img.ENCODERS[fmts[k]](pix))
+            caps.append(" ".join(rng.choice(_VOCAB, rng.randint(3, 21))))
+            phashes.append(img.phash64(pix))
+        images_captions = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(phashes, pa.int64()),
+            }
+        )
+        images_golden = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "pixels": pa.array([p.tobytes() for p in pixels], pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+            }
+        )
+        tables["images_captions"] = images_captions
+        tables["images_golden"] = images_golden
+
+    for name, tbl in tables.items():
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(tbl, p)
+        paths[name] = p
+    return paths
