@@ -59,8 +59,8 @@ def _canon_pandas(s: pd.Series) -> pd.Series:
     s = s.str.replace(r"[?&]$", "", regex=True)
     # 5. ensure non-empty path before ? or end
     s = s.str.replace(r"^([a-z][a-z0-9+.-]*://[^/?#]+)(\?|$)", r"\1/\2", regex=True)
-    # 6. strip trailing slash on non-root paths (no query tail)
-    s = s.str.replace(r"^([a-z][a-z0-9+.-]*://[^/?#]+/.+?)/$", r"\1", regex=True)
+    # 6. strip trailing slash at end of non-root path (also before a query)
+    s = s.str.replace(r"^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*?)/+(\?|$)", r"\1\2", regex=True)
     return s
 
 
@@ -92,8 +92,8 @@ def canonicalize_expr(col: Column) -> Column:
     c = F.regexp_replace(c, r"[?&]$", "")
     # empty path → "/"
     c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?#]+)(\?|$)", "$1/$2")
-    # trailing slash on non-root path
-    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?#]+/.+?)/$", "$1")
+    # trailing slash at end of non-root path (also before a query)
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*?)/+(\?|$)", "$1$2")
     return c
 
 

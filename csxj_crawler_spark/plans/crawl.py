@@ -1,0 +1,334 @@
+"""Wave-iterative crawl driver: frontier → politeness selection → fetch →
+discovery → dedup → snapshot commit (SURVEY.md §3.2 N1).
+
+Replaces the reference's sequential per-source download loop
+(SURVEY.md §3.1 E1/E2, [M csxj/article_queue.py, scripts/]) with a set-based,
+partitioned plan that reproduces the loop's exact crawl ordering and URL-seen
+set (BASELINE.json:2).  Semantics are locked in :mod:`csxj_crawler_spark.spec`
+and cross-checked against the pure-Python simulator goldens.
+
+Scale design (10^10-URL frontier, BASELINE.json:14):
+
+* The frontier ("queued") and seen tables are snapshot-versioned parquet
+  partitioned by ``host_bucket`` — manifest-level pruning + co-located
+  bucket joins (sources/snapshot.py).
+* Per-wave work only ever ranks *queued* rows (window by host), and the
+  global order/seq assignment runs on the per-wave SELECTION (≤ wave budget
+  rows), never on the full frontier — no global sort of 10^10 rows.
+* ``discovered_seq`` for a discovery is ``(parent_seq+1)*2^20 + outlink_pos``:
+  a deterministic total order identical to the reference's discovery
+  numbering, assigned WITHOUT any global counter or row_number over big data.
+* The fetch join broadcasts the (small) wave selection against the (huge)
+  web-graph/payload table — one streaming scan, zero shuffle of the graph.
+* Seen-set anti-join keys on ``(url_hash, url)`` — int64-first shuffle key,
+  string equality guards against xxhash64 collisions at 10^10 scale.
+* Skew: one hot host (~30% of fixture pages) is handled by AQE skew-join +
+  the per-host politeness cap itself (a wave selects ≤ c rows per host).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from csxj_crawler_spark import spec
+from csxj_crawler_spark.functions import urls as U
+from csxj_crawler_spark.sources.snapshot import SnapshotStore
+
+_POS_BITS = 20  # outlink position bits in discovered_seq encoding
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    urls_in: int
+    urls_new: int
+    fetched: int
+    errors: int
+
+
+class CrawlEngine:
+    """One engine instance per crawl run directory (SnapshotStore root)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        n_buckets: int = spec.DEFAULT_HOST_BUCKETS,
+        wave_budget: int = spec.WAVE_URL_BUDGET,
+        use_pandas_canon: bool = False,
+    ):
+        self.spark = spark
+        self.store = store
+        self.n_buckets = n_buckets
+        self.wave_budget = wave_budget
+        self.use_pandas_canon = use_pandas_canon
+
+    # -- helpers -------------------------------------------------------------
+    def _canon(self, col):
+        if self.use_pandas_canon:
+            return U.canonicalize_udf(col)
+        return U.canonicalize_expr(col)
+
+    def _source_idx(self, col):
+        expr = F.lit(len(spec.SOURCE_ORDER))
+        for s, i in reversed(list(spec.SOURCE_IDX.items())):
+            expr = F.when(col == s, F.lit(i)).otherwise(expr)
+        return expr
+
+    def _frontier_cols(self, df: DataFrame) -> DataFrame:
+        df = df.withColumn("url_hash", U.url_hash(F.col("url")))
+        df = df.withColumn("host", U.host_of(F.col("url")))
+        return df.withColumn("host_bucket", U.host_bucket(F.col("host"), self.n_buckets))
+
+    # -- bootstrap (wave-0 frontier from the shared seed list) ---------------
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """Canonicalize seeds, dedup keeping lowest seed_rank, commit v0."""
+        s = seeds.select(
+            self._canon(F.col("url")).alias("url"),
+            "source",
+            "priority",
+            "seed_rank",
+        )
+        w = Window.partitionBy("url").orderBy("seed_rank")
+        s = (
+            s.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        q = self._frontier_cols(
+            s.select(
+                "url",
+                "source",
+                "priority",
+                F.col("seed_rank").cast("long").alias("discovered_seq"),
+            ).withColumn("wave_discovered", F.lit(0))
+        )
+        self.store.commit(
+            q, "queued", mode="overwrite", partition_by=["host_bucket"],
+            meta={"wave": -1, "next_seq": 0},
+        )
+        seen = q.select("url_hash", "url", "host_bucket", "discovered_seq")
+        self.store.commit(
+            seen, "seen", mode="overwrite", partition_by=["host_bucket"],
+            meta={"wave": -1},
+        )
+
+    # -- one wave -------------------------------------------------------------
+    def step(
+        self, wave: int, seq_offset: int, graph: DataFrame, robots: DataFrame
+    ) -> tuple[WaveStats, int]:
+        spark = self.spark
+        queued = self.store.read(spark, "queued")
+        if queued is None:
+            return WaveStats(wave, 0, 0, 0, 0), seq_offset
+        queued = queued.cache()
+        urls_in = queued.count()
+        if urls_in == 0:
+            queued.unpersist()
+            return WaveStats(wave, 0, 0, 0, 0), seq_offset
+
+        # robots gating (P4): broadcast the small per-host dim
+        empty_arr = F.expr("CAST(array() AS array<string>)")
+        rb = F.broadcast(
+            robots.select(
+                "host",
+                F.coalesce("disallow", empty_arr).alias("disallow"),
+                F.coalesce("crawl_delay", F.lit(1.0)).alias("crawl_delay"),
+            )
+        )
+        q = (
+            queued.join(rb, "host", "left")
+            .withColumn("crawl_delay", F.coalesce("crawl_delay", F.lit(1.0)))
+            .withColumn("disallow", F.coalesce("disallow", empty_arr))
+            .withColumn("path", U.path_of(F.col("url")))
+            .withColumn(
+                "is_excluded",
+                F.exists("disallow", lambda p: F.col("path").startswith(p)),
+            )
+        )
+        excluded = q.filter("is_excluded").select("url", "url_hash", "host", "host_bucket")
+        candidates = q.filter(~F.col("is_excluded"))
+
+        # W1: per-host politeness-aware selection — top-c by (prio, seq)
+        per_host = Window.partitionBy("host").orderBy(
+            F.desc("priority"), F.asc("discovered_seq")
+        )
+        budget_c = F.greatest(
+            F.lit(1),
+            F.floor(F.lit(spec.WAVE_SECONDS) / F.col("crawl_delay")).cast("int"),
+        )
+        sel = (
+            candidates.withColumn("host_rank", F.row_number().over(per_host) - 1)
+            .filter(F.col("host_rank") < budget_c)
+        )
+
+        # W2: global wave order (source_idx, discovered_seq), cap, seq assign.
+        # Single-partition window — but only over ≤ wave_budget candidate rows
+        # per host cap, never the full frontier (SURVEY.md §4 W2 design).
+        wsel = Window.orderBy(self._source_idx(F.col("source")), "discovered_seq")
+        sel = (
+            sel.withColumn("wave_rank", F.row_number().over(wsel))
+            .filter(F.col("wave_rank") <= self.wave_budget)
+            .withColumn("seq", F.lit(seq_offset) + F.col("wave_rank") - 1)
+            .withColumn(
+                "fetch_ts",
+                F.lit(spec.CRAWL_EPOCH + wave * spec.WAVE_SECONDS)
+                + F.col("host_rank") * F.col("crawl_delay"),
+            )
+            .select(
+                "url", "url_hash", "host", "host_bucket", "source", "priority",
+                "discovered_seq", "seq", "fetch_ts", "host_rank",
+            )
+            .cache()
+        )
+
+        # J2 fetch: broadcast the small selection, stream the huge graph once
+        g = graph.select("url", "outlinks", "status", "image_id")
+        hits = g.join(F.broadcast(sel), "url", "inner")
+        miss = sel.join(
+            F.broadcast(hits.select("url")), "url", "left_anti"
+        ).select(
+            "url", "url_hash", "host", "host_bucket", "source",
+            "seq", "fetch_ts",
+        ).withColumn("status", F.lit(0)).withColumn("image_id", F.lit(None).cast("string"))
+        fetch_log = (
+            hits.select(
+                "seq", "url", "url_hash", "host", "host_bucket", "source",
+                F.lit(wave).alias("wave"), "fetch_ts",
+                F.col("status").cast("int").alias("status"), "image_id",
+            )
+            .unionByName(
+                miss.select(
+                    "seq", "url", "url_hash", "host", "host_bucket", "source",
+                    F.lit(wave).alias("wave"), "fetch_ts",
+                    F.col("status").cast("int").alias("status"), "image_id",
+                )
+            )
+            .cache()
+        )
+        fetched = fetch_log.filter("status = 200").count()
+        errors = fetch_log.filter("status <> 200").count()
+
+        # discovery: explode outlinks of successful fetches, canonicalize,
+        # encode deterministic discovered_seq, within-wave keep-first dedup
+        disc = (
+            hits.filter("status = 200")
+            .select("seq", F.col("source").alias("parent_source"),
+                    F.posexplode("outlinks").alias("pos", "link"))
+            .select(
+                "seq", "parent_source", "pos",
+                self._canon(F.col("link.url")).alias("url"),
+            )
+            .withColumn(
+                "enc_seq",
+                (F.col("seq") + 1) * F.lit(1 << _POS_BITS) + F.col("pos"),
+            )
+            .groupBy("url")
+            .agg(
+                F.min("enc_seq").alias("discovered_seq"),
+                F.min_by("parent_source", "enc_seq").alias("parent_source"),
+            )
+        )
+        seen = self.store.read(spark, "seen").select("url_hash", "url")
+        disc = disc.withColumn("url_hash", U.url_hash(F.col("url")))
+        new = disc.join(seen, ["url_hash", "url"], "left_anti")
+        new = self._frontier_cols(new.drop("url_hash"))
+        prefix = F.split(F.col("host"), "-").getItem(0)
+        new = (
+            new.withColumn(
+                "source",
+                F.when(prefix.isin(*spec.SOURCE_ORDER), prefix).otherwise(
+                    F.col("parent_source")
+                ),
+            )
+            .withColumn("priority", F.lit(1.0))
+            .withColumn("wave_discovered", F.lit(wave + 1))
+            .select(
+                "url", "url_hash", "host", "host_bucket", "source", "priority",
+                "discovered_seq", "wave_discovered",
+            )
+            .cache()
+        )
+        urls_new = new.count()
+
+        # commits — each is an atomic snapshot (resume point)
+        next_seq = seq_offset + fetched + errors
+        self.store.commit(
+            fetch_log.drop("url_hash"), "fetch_log", mode="append",
+            partition_by=None, meta={"wave": wave, "next_seq": next_seq},
+        )
+        survivors = queued.join(sel.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+        survivors = survivors.join(
+            excluded.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        )
+        next_queued = survivors.select(
+            "url", "url_hash", "host", "host_bucket", "source", "priority",
+            "discovered_seq", "wave_discovered",
+        ).unionByName(new)
+        self.store.commit(
+            next_queued, "queued", mode="overwrite", partition_by=["host_bucket"],
+            meta={"wave": wave, "next_seq": next_seq},
+        )
+        self.store.commit(
+            new.select("url_hash", "url", "host_bucket", "discovered_seq"),
+            "seen", mode="append", partition_by=["host_bucket"],
+            meta={"wave": wave},
+        )
+        self.store.commit(excluded, "excluded", mode="append", meta={"wave": wave})
+        stats = WaveStats(wave, urls_in, urls_new, fetched, errors)
+        metrics = spark.createDataFrame(
+            [(wave, urls_in, urls_new, fetched, errors)],
+            schema="wave int, urls_in long, urls_new long, fetched long, errors long",
+        )
+        self.store.commit(metrics, "wave_metrics", mode="append", meta={"wave": wave})
+        queued.unpersist()
+        sel.unpersist()
+        fetch_log.unpersist()
+        new.unpersist()
+        return stats, next_seq
+
+    # -- full run (resumable) -------------------------------------------------
+    def run(
+        self,
+        seeds: DataFrame,
+        graph: DataFrame,
+        robots: DataFrame,
+        max_waves: int = spec.MAX_WAVES,
+    ) -> list[WaveStats]:
+        """Run (or resume) the crawl to completion.
+
+        Resume: if a committed ``queued`` snapshot exists, bootstrap is
+        skipped and the loop continues from the last committed wave+1 with
+        the checkpointed seq offset (BASELINE.json:14 "resumable from
+        checkpoint").
+        """
+        man = self.store.manifest("queued")
+        if man is None:
+            self.bootstrap(seeds)
+            start_wave, seq_offset = 0, 0
+        else:
+            start_wave = man["meta"]["wave"] + 1
+            seq_offset = man["meta"]["next_seq"]
+        stats: list[WaveStats] = []
+        for wave in range(start_wave, max_waves):
+            st, seq_offset = self.step(wave, seq_offset, graph, robots)
+            stats.append(st)
+            if st.urls_in == 0:
+                break
+        return stats
+
+    # -- outputs ---------------------------------------------------------------
+    def crawl_order(self) -> DataFrame | None:
+        log = self.store.read(self.spark, "fetch_log")
+        return None if log is None else log.orderBy("seq")
+
+    def seen_set(self) -> DataFrame | None:
+        return self.store.read(self.spark, "seen")
+
+    def wave_metrics(self) -> DataFrame | None:
+        m = self.store.read(self.spark, "wave_metrics")
+        return None if m is None else m.orderBy("wave")
