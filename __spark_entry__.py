@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline ops (dedup / similarity / text /
+payload) and the judged crawl invariants (order / seen set / metrics).
+
+Crawl/payload queries run over a deterministic tiny fixture (seed=42,
+generated in /tmp on first use); their oracles are literal VALUES emitted by
+the independent pure-Python reference simulator and numpy codecs, so DuckDB
+still verifies them end-to-end.  Queries whose algorithm is not
+SQL-expressible (MinHash banding, SimHash, hyperplane LSH) ship without an
+oracle — the driver records rows-only, and tests/test_dedup_ops.py verifies
+them against exact brute-force instead.
 """
 
 from __future__ import annotations
@@ -13,26 +20,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_ASSEMBLED: dict[str, tuple] | None = None
+
+
+def _assemble() -> dict[str, tuple]:
+    global _ASSEMBLED
+    if _ASSEMBLED is None:
+        from csxj_crawler_spark.queries import crawlops, dedupops, payloadops, relational, simops, textops
+
+        q: dict[str, tuple] = {}
+        q.update(relational.QUERIES)
+        q.update(textops.QUERIES)
+        q.update(simops.QUERIES)
+        q.update(dedupops.QUERIES)
+        q.update(crawlops.QUERIES())
+        q.update(payloadops.QUERIES())
+        _ASSEMBLED = q
+    return _ASSEMBLED
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from csxj_crawler_spark.queries.relational import q_agg_pricing_summary
+
+    return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops)."""
+    return {name: fn for name, (fn, _sql) in _assemble().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; omitted for non-SQL-expressible
+    ops (driver records a weaker rows-only check for those)."""
+    return {name: sql for name, (_fn, sql) in _assemble().items() if sql is not None}

@@ -1,0 +1,122 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus crawl-engine and payload-path
+throughput on deterministic bench fixtures.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "crawl_urls_per_sec": ..., "images_per_sec": ...}
+
+Scaling-efficiency evidence (N vs 4N cores) lives in scripts/scaling_bench.py
+(two JVMs can't share one bench process); its results are recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from csxj_crawler_spark.fixtures import generator
+from csxj_crawler_spark.plans.crawl import CrawlEngine
+from csxj_crawler_spark.session import get_spark
+from csxj_crawler_spark.sources.snapshot import SnapshotStore
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+IMG_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_PAGES", "3000"))
+
+
+def _bench_fixture(n_pages: int, with_images: bool, tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"csxj_bench_{tag}_{n_pages}")
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        generator.generate(
+            d, n_pages=n_pages, seed=42, with_images=with_images,
+            n_seeds_per_source=20,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def main() -> None:
+    spark = get_spark(app="csxj-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    sf = SF_DIR
+    from csxj_crawler_spark.queries import dedupops, relational, simops, textops
+
+    headline = {
+        "q1_pricing_summary": relational.QUERIES["agg_pricing_summary"][0],
+        "q2_top_revenue": relational.QUERIES["join_top_revenue_orders"][0],
+        "q3_broadcast_dims": relational.QUERIES["join_broadcast_dims"][0],
+        "q4_topk_per_customer": relational.QUERIES["window_topk_per_customer"][0],
+        "q5_sessionize": relational.QUERIES["sessionize_events"][0],
+        "q6_rollup": relational.QUERIES["rollup_order_stats"][0],
+        "q7_text_quality": textops.QUERIES["text_quality"][0],
+        "q8_ngram_jaccard": textops.QUERIES["dedup_ngram_jaccard"][0],
+        "q9_cosine_topk": simops.QUERIES["sim_cosine_topk"][0],
+        "q10_minhash_lsh": dedupops.QUERIES["dedup_minhash_lsh"][0],
+    }
+
+    times: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in headline.items():
+        t0 = time.time()
+        df = fn(spark, sf)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    # crawl-engine throughput (frontier URLs processed / sec)
+    crawl_dir = _bench_fixture(CRAWL_PAGES, with_images=False, tag="crawl")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="csxj_bench_store_"))
+    eng = CrawlEngine(spark, store, n_buckets=64)
+    seeds = spark.read.parquet(f"{crawl_dir}/seeds.parquet")
+    graph = spark.read.parquet(f"{crawl_dir}/web_graph.parquet").cache()
+    graph.count()
+    robots = spark.read.parquet(f"{crawl_dir}/robots.parquet")
+    t0 = time.time()
+    stats = eng.run(seeds, graph, robots)
+    crawl_sec = time.time() - t0
+    processed = sum(s.fetched + s.errors for s in stats)
+    times["q11_crawl"] = round(crawl_sec, 3)
+
+    # payload path: decode + phash recompute + near-dup prune
+    from csxj_crawler_spark.operators import payload as P
+
+    img_dir = _bench_fixture(IMG_PAGES, with_images=True, tag="img")
+    images = spark.read.parquet(f"{img_dir}/images_captions.parquet")
+    t0 = time.time()
+    n_img = P.decode_and_phash(images).filter("decode_ok").count()
+    n_kept = P.phash_prune_keep_first(images).count()
+    img_sec = time.time() - t0
+    times["q12_payload"] = round(img_sec, 3)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "headline queries + crawl/payload throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf.rstrip("/").split("sf")[-1],
+        "crawl_urls_per_sec": round(processed / crawl_sec, 1),
+        "crawl_urls_processed": processed,
+        "crawl_waves": len(stats),
+        "images_per_sec": round(n_img / img_sec, 1),
+        "images_decoded": n_img,
+        "images_kept_after_prune": n_kept,
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

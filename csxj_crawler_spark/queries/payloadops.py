@@ -1,0 +1,201 @@
+"""Payload-path operators under the driver contract: decode fidelity,
+pHash recomputation, pHash near-dup LSH, multimodal feature plumbing
+(BASELINE.json:15; SURVEY.md §2.10, D6).
+
+Oracles are VALUES computed by a local numpy loop over the fixture parquet
+(independent of Spark's execution path — same codecs library, but the claim
+under test is the Spark plumbing: Arrow batching, cogroup, band joins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from csxj_crawler_spark import spec
+from csxj_crawler_spark.functions import images as I
+from csxj_crawler_spark.operators import payload as P
+from csxj_crawler_spark.queries._fixture import tiny_fixture_dir, values_sql
+
+
+def _local_images():
+    import pyarrow.parquet as pq
+
+    d = tiny_fixture_dir()
+    return (
+        pq.read_table(f"{d}/images_captions.parquet").to_pylist(),
+        {r["image_id"]: r for r in pq.read_table(f"{d}/images_golden.parquet").to_pylist()},
+    )
+
+
+# --------------------------------------------------------------------------
+# decode + fidelity vs golden pixels (allclose; PSNR path for lossy fmts)
+# --------------------------------------------------------------------------
+def q_image_decode_fidelity(spark, sf_dir):
+    d = tiny_fixture_dir()
+    images = spark.read.parquet(f"{d}/images_captions.parquet")
+    golden = spark.read.parquet(f"{d}/images_golden.parquet")
+    return P.validate_payloads(images, golden).select("image_id", "pixels_ok")
+
+
+def _sql_decode_fidelity() -> str:
+    imgs, golden = _local_images()
+    rows = []
+    for r in imgs:
+        ok = False
+        try:
+            pix = I.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+            g = golden[r["image_id"]]
+            ref = np.frombuffer(g["pixels"], dtype=np.uint8).reshape(g["h"], g["w"], 3)
+            ok = pix.shape == ref.shape and bool(np.allclose(pix, ref))
+        except Exception:
+            ok = False
+        rows.append((r["image_id"], ok))
+    return values_sql([("image_id", "VARCHAR"), ("pixels_ok", "BOOLEAN")], rows)
+
+
+# --------------------------------------------------------------------------
+# pHash recomputation from payload bytes must equal the stored column
+# --------------------------------------------------------------------------
+def q_image_phash_recompute(spark, sf_dir):
+    d = tiny_fixture_dir()
+    images = spark.read.parquet(f"{d}/images_captions.parquet")
+    dec = P.decode_and_phash(images)
+    return (
+        images.select("image_id", "phash", "w", "h")
+        .join(dec, "image_id")
+        .select(
+            "image_id",
+            (F.col("phash") == F.col("phash_re")).alias("phash_ok"),
+            (F.col("w") == F.col("dec_w")).alias("w_ok"),
+            (F.col("h") == F.col("dec_h")).alias("h_ok"),
+        )
+    )
+
+
+def _sql_phash_recompute() -> str:
+    imgs, _ = _local_images()
+    rows = []
+    for r in imgs:
+        pix = I.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+        rows.append(
+            (
+                r["image_id"],
+                I.phash64(pix) == r["phash"],
+                pix.shape[1] == r["w"],
+                pix.shape[0] == r["h"],
+            )
+        )
+    return values_sql(
+        [
+            ("image_id", "VARCHAR"),
+            ("phash_ok", "BOOLEAN"),
+            ("w_ok", "BOOLEAN"),
+            ("h_ok", "BOOLEAN"),
+        ],
+        rows,
+    )
+
+
+# --------------------------------------------------------------------------
+# D6 — pHash near-dup pairs via 16-bit band LSH + bit_count verify
+# --------------------------------------------------------------------------
+def q_image_phash_neardup(spark, sf_dir):
+    d = tiny_fixture_dir()
+    images = spark.read.parquet(f"{d}/images_captions.parquet")
+    return P.phash_neardup_pairs(images, spec.PHASH_HAMMING_T)
+
+
+def _sql_phash_neardup() -> str:
+    imgs, _ = _local_images()
+    # brute force: O(n^2) over the tiny fixture with banding equivalence —
+    # oracle mirrors the banded-candidate semantics (≥1 shared 16-bit band)
+    rows = []
+    for i, a in enumerate(imgs):
+        for b in imgs[i + 1 :]:
+            x, y = (a, b) if a["image_id"] < b["image_id"] else (b, a)
+            ham = I.hamming64(x["phash"], y["phash"])
+            if ham > spec.PHASH_HAMMING_T:
+                continue
+            shares_band = any(
+                ((x["phash"] >> (16 * k)) & 0xFFFF) == ((y["phash"] >> (16 * k)) & 0xFFFF)
+                for k in range(4)
+            )
+            if shares_band:
+                rows.append((x["image_id"], y["image_id"], ham))
+    return values_sql(
+        [("img_a", "VARCHAR"), ("img_b", "VARCHAR"), ("hamming", "INT")], rows
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal feature plumbing (deterministic stand-in featurizer)
+# --------------------------------------------------------------------------
+def q_image_features(spark, sf_dir):
+    d = tiny_fixture_dir()
+    images = spark.read.parquet(f"{d}/images_captions.parquet")
+    feats = P.extract_image_features(images)
+    return feats.select(
+        "image_id",
+        F.round(F.element_at("feat", 1), 6).alias("feat_r"),
+        F.round(F.element_at("feat", 2), 6).alias("feat_g"),
+        F.round(F.element_at("feat", 3), 6).alias("feat_b"),
+    )
+
+
+def _sql_image_features() -> str:
+    imgs, _ = _local_images()
+    rows = []
+    for r in imgs:
+        pix = I.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+        gray = pix.astype(np.float64)
+        small = np.stack([I._resize_area(gray[:, :, c], 8) for c in range(3)], -1)
+        feat = np.round(np.round(small.mean(axis=(0, 1)) / 255.0, 6), 6)
+        rows.append((r["image_id"], float(feat[0]), float(feat[1]), float(feat[2])))
+    return values_sql(
+        [
+            ("image_id", "VARCHAR"),
+            ("feat_r", "DOUBLE"),
+            ("feat_g", "DOUBLE"),
+            ("feat_b", "DOUBLE"),
+        ],
+        rows,
+    )
+
+
+# --------------------------------------------------------------------------
+# caption equality check (per-row invariant, BASELINE.json:15)
+# --------------------------------------------------------------------------
+def q_caption_equality(spark, sf_dir):
+    d = tiny_fixture_dir()
+    images = spark.read.parquet(f"{d}/images_captions.parquet")
+    # reference captions = the stored column; engine-side normalization must
+    # be the identity for fidelity (trim-compare shows the plumbing)
+    return images.select(
+        "image_id",
+        (F.col("caption") == F.trim(F.col("caption"))).alias("caption_ok"),
+        F.length("caption").alias("caption_len"),
+    )
+
+
+def _sql_caption_equality() -> str:
+    imgs, _ = _local_images()
+    rows = [
+        (r["image_id"], r["caption"] == r["caption"].strip(), len(r["caption"]))
+        for r in imgs
+    ]
+    return values_sql(
+        [("image_id", "VARCHAR"), ("caption_ok", "BOOLEAN"), ("caption_len", "INT")],
+        rows,
+    )
+
+
+def QUERIES() -> dict[str, tuple]:
+    return {
+        "image_decode_fidelity": (q_image_decode_fidelity, _sql_decode_fidelity()),
+        "image_phash_recompute": (q_image_phash_recompute, _sql_phash_recompute()),
+        "image_phash_neardup": (q_image_phash_neardup, _sql_phash_neardup()),
+        "image_features": (q_image_features, _sql_image_features()),
+        "caption_equality": (q_caption_equality, _sql_caption_equality()),
+    }

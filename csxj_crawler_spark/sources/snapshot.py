@@ -85,9 +85,13 @@ class SnapshotStore:
         commit_id = uuid.uuid4().hex[:12]
         tmp_dir = os.path.join(self._tdir(table), ".tmp", commit_id)
         data_dir = os.path.join(self._tdir(table), "data")
-        writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            # co-locate rows of one partition into one task → one file per
+            # partition value instead of tasks×partitions small files
+            df = df.repartition(*partition_by)
+            writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        else:
+            writer = df.write.mode("overwrite")
         writer.parquet(tmp_dir)
 
         # relocate immutable data files under data/<partition dirs>/ so the

@@ -23,7 +23,7 @@ def spark():
 @pytest.fixture(scope="session")
 def fix_dir(tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("fixtures")
-    generator.generate(str(d), n_pages=400, seed=42)
+    generator.generate(str(d), n_pages=250, seed=42)
     return str(d)
 
 

@@ -1,0 +1,110 @@
+"""P1-P3: canonicalization parity (expr == pandas UDF == pure-Python
+reference impl), idempotence, hashing/bucketing properties."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from csxj_crawler_spark.fixtures.simulator import canon_py
+from csxj_crawler_spark.functions import urls as U
+from csxj_crawler_spark.functions.urls import _canon_pandas
+
+
+def _fixture_urls(fix_dir):
+    urls = []
+    for r in pq.read_table(f"{fix_dir}/seeds.parquet").to_pylist():
+        urls.append(r["url"])
+    for page in pq.read_table(f"{fix_dir}/web_graph.parquet").to_pylist():
+        for l in page["outlinks"] or []:
+            urls.append(l["url"])
+    return urls
+
+
+def test_pandas_matches_python_reference(fix_dir):
+    urls = _fixture_urls(fix_dir)
+    got = _canon_pandas(pd.Series(urls)).tolist()
+    want = [canon_py(u) for u in urls]
+    assert got == want
+
+
+def test_expr_matches_python_reference(spark, fix_dir):
+    from pyspark.sql import functions as F
+
+    urls = _fixture_urls(fix_dir)[:500]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(U.canonicalize_expr(F.col("url"))).collect()]
+    want = [canon_py(u) for u in urls]
+    assert got == want
+
+
+def test_udf_matches_expr(spark, fix_dir):
+    from pyspark.sql import functions as F
+
+    urls = _fixture_urls(fix_dir)[:500]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        U.canonicalize_expr(F.col("url")).alias("e"),
+        U.canonicalize_udf(F.col("url")).alias("u"),
+    ).collect()
+    assert all(r["e"] == r["u"] for r in rows)
+
+
+_hosts = st.sampled_from(["lesoir-0.example", "A-B.Example", "x.org"])
+_paths = st.lists(
+    st.text(alphabet="abcZ09._-", min_size=1, max_size=6), min_size=0, max_size=4
+).map(lambda segs: "/" + "/".join(segs))
+_queries = st.lists(
+    st.tuples(
+        st.sampled_from(["page", "id", "utm_source", "utm_x", "fbclid", "q"]),
+        st.text(alphabet="ab12", min_size=0, max_size=4),
+    ),
+    min_size=0,
+    max_size=4,
+).map(lambda kvs: "&".join(f"{k}={v}" for k, v in kvs))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https"]),
+    host=_hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_paths,
+    slash=st.booleans(),
+    query=_queries,
+    frag=st.sampled_from(["", "#x", "#a-b"]),
+)
+def test_canon_idempotent_and_matches(scheme, host, port, path, slash, query, frag):
+    url = f"{scheme}://{host}{port}{path}"
+    if slash and path != "/":
+        url += "/"
+    if query:
+        url += "?" + query
+    url += frag
+    want = canon_py(url)
+    got = _canon_pandas(pd.Series([url])).iloc[0]
+    assert got == want
+    # idempotence: canon(canon(u)) == canon(u)
+    assert canon_py(want) == want
+    assert _canon_pandas(pd.Series([got])).iloc[0] == got
+
+
+def test_host_bucket_stable_and_bounded(spark, fix_dir):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{fix_dir}/seeds.parquet").select(
+        U.canonicalize_expr(F.col("url")).alias("url")
+    )
+    out = df.select(
+        U.host_of(F.col("url")).alias("host"),
+        U.host_bucket(U.host_of(F.col("url")), 8).alias("b"),
+        U.url_hash(F.col("url")).alias("h"),
+    ).collect()
+    assert all(0 <= r["b"] < 8 for r in out)
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], set()).add(r["b"])
+    assert all(len(v) == 1 for v in by_host.values())
