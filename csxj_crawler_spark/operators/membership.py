@@ -38,10 +38,19 @@ def _u64(a) -> np.ndarray:
     return np.asarray(a, dtype=np.int64).view(np.uint64)
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer — makes positions independent of the input
+    key distribution (production keys are xxhash64, but don't rely on it)."""
+    h = (h + _MIX)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def _bloom_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     """(n, k) bit positions via double hashing — fully vectorized."""
-    h1 = hashes
-    h2 = (hashes ^ (hashes >> np.uint64(33))) * _MIX
+    h1 = _mix64(hashes)
+    h2 = (h1 ^ (h1 >> np.uint64(33))) * _MIX | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)[None, :]
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.uint64)
 
@@ -52,7 +61,12 @@ def bloom_build_bits(
     k: int = spec.BLOOM_NUM_HASHES,
 ) -> tuple[np.ndarray, int]:
     n = len(hashes)
-    m = max(64, ((n * bits_per_key + 63) // 64) * 64)
+    # power-of-two m: any smaller filter tiles exactly into a larger one,
+    # which makes merge_blooms' widening sound (bm | m ⇒ tiling preserves
+    # membership: h mod bm == (h mod m) mod bm)
+    m = 64
+    while m < n * bits_per_key:
+        m *= 2
     words = np.zeros(m // 64, dtype=np.uint64)
     if n:
         pos = _bloom_positions(_u64(hashes), m, k)

@@ -173,7 +173,9 @@ class CrawlEngine:
         sel = (
             sel.withColumn("wave_rank", F.row_number().over(wsel))
             .filter(F.col("wave_rank") <= self.wave_budget)
-            .withColumn("seq", F.lit(seq_offset) + F.col("wave_rank") - 1)
+            .withColumn(
+                "seq", F.lit(seq_offset).cast("long") + F.col("wave_rank").cast("long") - 1
+            )
             .withColumn(
                 "fetch_ts",
                 F.lit(spec.CRAWL_EPOCH + wave * spec.WAVE_SECONDS)
@@ -225,7 +227,8 @@ class CrawlEngine:
             )
             .withColumn(
                 "enc_seq",
-                (F.col("seq") + 1) * F.lit(1 << _POS_BITS) + F.col("pos"),
+                (F.col("seq").cast("long") + 1) * F.lit(1 << _POS_BITS).cast("long")
+                + F.col("pos").cast("long"),
             )
             .groupBy("url")
             .agg(

@@ -1,0 +1,102 @@
+"""Codec / pHash / PSNR unit + property tests (pure numpy, no Spark).
+
+Mirrors the reference's per-parser golden fixture strategy (SURVEY.md §5.1)
+for the payload path: every encoder round-trips bit-exact through its decoder
+(LOSSLESS_FMTS contract) and the perceptual-hash invariants hold."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from csxj_crawler_spark.functions import images as I
+
+
+def _img(w, h, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("fmt", ["raw", "ppm", "png"])
+def test_roundtrip_bit_exact(fmt):
+    pix = _img(37, 23, seed=3)
+    blob = I.ENCODERS[fmt](pix)
+    out = I.decode_image(blob, fmt, 37, 23)
+    assert np.array_equal(out, pix)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_roundtrip_property(w, h, seed):
+    pix = _img(w, h, seed)
+    for fmt in I.LOSSLESS_FMTS:
+        assert np.array_equal(I.decode_image(I.ENCODERS[fmt](pix), fmt, w, h), pix)
+
+
+def test_png_sub_and_up_filters_decode():
+    """Decoder must handle spec filters 0/1/2, not just what we emit."""
+    import struct
+    import zlib
+
+    pix = _img(16, 6, seed=9)
+    h, w, _ = pix.shape
+    rows = pix.reshape(h, w * 3).astype(np.int16)
+    enc = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    for r in range(h):
+        f = r % 3  # cycle None/Sub/Up
+        enc[r, 0] = f
+        line = rows[r].copy()
+        if f == 1:
+            line[3:] = (rows[r][3:] - rows[r][:-3]) & 0xFF
+        elif f == 2 and r > 0:
+            line = (rows[r] - rows[r - 1]) & 0xFF
+        enc[r, 1:] = line.astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + I._png_chunk(b"IHDR", ihdr)
+        + I._png_chunk(b"IDAT", zlib.compress(enc.tobytes()))
+        + I._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(I.decode_png(blob), pix)
+
+
+def test_ppm_comment_header():
+    pix = _img(5, 4, seed=1)
+    blob = b"P6\n# a comment\n5 4\n255\n" + pix.tobytes()
+    assert np.array_equal(I.decode_ppm(blob), pix)
+
+
+def test_phash_deterministic_and_noise_tolerant():
+    pix = _img(64, 48, seed=5)
+    h1 = I.phash64(pix)
+    assert h1 == I.phash64(pix.copy())
+    # +-1 uniform noise: perceptually identical -> small Hamming distance
+    noisy = np.clip(
+        pix.astype(np.int16) + np.random.RandomState(6).randint(-1, 2, pix.shape),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert I.hamming64(h1, I.phash64(noisy)) <= 6
+    # unrelated image -> far away
+    other = _img(64, 48, seed=77)
+    assert I.hamming64(h1, I.phash64(other)) > 10
+
+
+def test_phash_int64_range():
+    for seed in range(8):
+        v = I.phash64(_img(32, 32, seed))
+        assert -(2**63) <= v < 2**63
+
+
+def test_psnr():
+    pix = _img(32, 32, seed=2)
+    assert I.psnr(pix, pix) == float("inf")
+    noisy = np.clip(pix.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    assert I.psnr(pix, noisy) >= 40.0
+    assert I.psnr(pix, 255 - pix) < 40.0

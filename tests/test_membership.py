@@ -1,0 +1,117 @@
+"""Membership-filter properties (SURVEY.md §5.2.5): bloom never
+false-negatives, cuckoo supports insert/delete/membership, and the Spark
+build/probe/merge operators agree with the exact set semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from csxj_crawler_spark.operators import membership as M
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(i64, min_size=0, max_size=500))
+def test_bloom_no_false_negatives(keys):
+    arr = np.array(keys, dtype=np.int64)
+    words, m = M.bloom_build_bits(arr)
+    hits = M.bloom_probe_bits(arr, words, m, 7)
+    assert hits.all() if len(keys) else True
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(i64, min_size=10, max_size=300, unique=True))
+def test_bloom_fp_rate_reasonable(keys):
+    """At 10 bits/key, k=7 the theoretical FP rate is <1%; allow 5% slack."""
+    arr = np.array(keys, dtype=np.int64)
+    words, m = M.bloom_build_bits(arr)
+    rng = np.random.RandomState(7)
+    probe = rng.randint(-(2**62), 2**62, size=20_000).astype(np.int64)
+    probe = probe[~np.isin(probe, arr)]
+    fp = M.bloom_probe_bits(probe, words, m, 7).mean()
+    assert fp < 0.05
+
+
+def test_bloom_merge_equals_union():
+    a = np.arange(0, 500, dtype=np.int64)
+    b = np.arange(400, 900, dtype=np.int64)
+    # equal-m merge path: build both at the same m by padding via bits math
+    wa, ma = M.bloom_build_bits(a)
+    wb, mb = M.bloom_build_bits(b)
+    if ma == mb:
+        merged = wa | wb
+        assert M.bloom_probe_bits(np.concatenate([a, b]), merged, ma, 7).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(i64, min_size=1, max_size=400, unique=True))
+def test_cuckoo_insert_contains(keys):
+    arr = np.array(keys, dtype=np.int64)
+    cf = M.CuckooFilter(capacity=max(64, len(arr)))
+    n = cf.insert_many(arr)
+    assert n == len(arr)  # sized with 1.25x headroom: no overflow expected
+    assert cf.contains_many(arr).all()
+
+
+def test_cuckoo_delete_and_roundtrip():
+    arr = np.arange(1000, dtype=np.int64) * 2_654_435_761
+    cf = M.CuckooFilter(capacity=2000)
+    assert cf.insert_many(arr) == len(arr)
+    drop = arr[::3]
+    assert cf.delete_many(drop) == len(drop)
+    keep = np.setdiff1d(arr, drop)
+    assert cf.contains_many(keep).all()  # no false negatives on survivors
+    # serialization round-trip preserves the table
+    cf2 = M.CuckooFilter.from_bytes(cf.to_bytes())
+    assert np.array_equal(cf.table, cf2.table)
+    assert cf2.contains_many(keep).all()
+
+
+@pytest.fixture(scope="module")
+def seen_df(spark):
+    rows = [(int(h) % 8, int(h)) for h in range(0, 4000, 3)]
+    return spark.createDataFrame(rows, "host_bucket int, url_hash long")
+
+
+def test_spark_bloom_build_probe(spark, seen_df):
+    blooms = M.build_blooms(seen_df)
+    assert blooms.count() == 8
+    cand_rows = [(int(h) % 8, int(h)) for h in range(0, 4000)]
+    cand = spark.createDataFrame(cand_rows, "host_bucket int, url_hash long")
+    probed = M.bloom_prefilter(cand, blooms)
+    got = {(r.url_hash, r.maybe_seen) for r in probed.collect()}
+    # every truly-seen hash MUST be flagged maybe_seen (no false negatives)
+    for h, flag in got:
+        if h % 3 == 0:
+            assert flag, f"false negative for seen hash {h}"
+    # and the filter must be useful: most unseen hashes pass through
+    unseen_flags = [flag for h, flag in got if h % 3 != 0]
+    assert sum(unseen_flags) / len(unseen_flags) < 0.05
+
+
+def test_spark_bloom_merge(spark, seen_df):
+    b1 = M.build_blooms(seen_df.filter("url_hash < 2000"))
+    b2 = M.build_blooms(seen_df.filter("url_hash >= 2000"))
+    merged = M.merge_blooms(b1.unionByName(b2))
+    assert merged.count() == 8
+    for r in merged.collect():
+        words = np.frombuffer(r.bloom, dtype=np.uint64)
+        bucket_keys = np.array(
+            [h for h in range(0, 4000, 3) if h % 8 == r.host_bucket],
+            dtype=np.int64,
+        )
+        assert M.bloom_probe_bits(bucket_keys, words, int(r.m), int(r.k)).all()
+
+
+def test_probe_empty_bloom_marks_all_new(spark):
+    cand = spark.createDataFrame([(0, 1), (1, 2)], "host_bucket int, url_hash long")
+    blooms = M.build_blooms(
+        spark.createDataFrame([], "host_bucket int, url_hash long")
+    )
+    out = M.bloom_prefilter(cand, blooms).collect()
+    assert all(not r.maybe_seen for r in out)

@@ -1,0 +1,85 @@
+"""Snapshot-store semantics (SURVEY.md §1.3): versioning, append vs
+overwrite, manifest-level partition pruning, time travel, crash atomicity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from csxj_crawler_spark.sources.snapshot import SnapshotStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "store"))
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, i % 4) for i in range(lo, hi)], "id long, host_bucket int"
+    )
+
+
+def test_append_and_overwrite_versions(spark, store):
+    store.commit(_df(spark, 0, 10), "t", mode="overwrite", partition_by=["host_bucket"])
+    store.commit(_df(spark, 10, 15), "t", mode="append", partition_by=["host_bucket"])
+    assert store.versions("t") == [0, 1]
+    assert store.read(spark, "t").count() == 15
+    store.commit(_df(spark, 100, 103), "t", mode="overwrite", partition_by=["host_bucket"])
+    assert store.read(spark, "t").count() == 3
+
+
+def test_time_travel(spark, store):
+    store.commit(_df(spark, 0, 10), "t", mode="overwrite", partition_by=["host_bucket"])
+    store.commit(_df(spark, 10, 15), "t", mode="append", partition_by=["host_bucket"])
+    assert store.read(spark, "t", version=0).count() == 10
+    assert store.read(spark, "t", version=1).count() == 15
+
+
+def test_manifest_partition_pruning(spark, store):
+    store.commit(_df(spark, 0, 100), "t", mode="overwrite", partition_by=["host_bucket"])
+    pruned = store.read(spark, "t", partition_filter={"host_bucket": {"1", "2"}})
+    assert pruned.count() == 50
+    # pruning happened at the manifest: Spark was given only matching files
+    assert len(pruned.inputFiles()) < len(store.read(spark, "t").inputFiles())
+    got = {r.host_bucket for r in pruned.select("host_bucket").distinct().collect()}
+    assert got == {1, 2}
+
+
+def test_empty_filter_returns_none(spark, store):
+    store.commit(_df(spark, 0, 10), "t", mode="overwrite", partition_by=["host_bucket"])
+    assert store.read(spark, "t", partition_filter={"host_bucket": {"99"}}) is None
+    assert store.read(spark, "missing") is None
+
+
+def test_crash_leaves_previous_snapshot_intact(spark, store):
+    store.commit(_df(spark, 0, 10), "t", mode="overwrite", partition_by=["host_bucket"])
+    # simulate a crash mid-commit: stray tmp manifest + orphan data file
+    snap_dir = store._snap_dir("t")
+    with open(os.path.join(snap_dir, ".v1.json.deadbeef.tmp"), "w") as f:
+        f.write("{corrupt")
+    data_dir = os.path.join(store._tdir("t"), "data", "host_bucket=0")
+    with open(os.path.join(data_dir, "orphan-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    # reader only trusts committed manifests: count unchanged, orphan unread
+    assert store.current_version("t") == 0
+    df = store.read(spark, "t")
+    assert df.count() == 10
+    assert not any("orphan" in p for p in df.inputFiles())
+    # next commit proceeds normally
+    store.commit(_df(spark, 10, 12), "t", mode="append", partition_by=["host_bucket"])
+    assert store.read(spark, "t").count() == 12
+
+
+def test_metadata_tables(spark, store):
+    store.commit(_df(spark, 0, 10), "t", mode="overwrite", partition_by=["host_bucket"],
+                 meta={"wave": 0})
+    store.commit(_df(spark, 10, 15), "t", mode="append", partition_by=["host_bucket"],
+                 meta={"wave": 1})
+    snaps = store.snapshots_df(spark, "t").orderBy("version").collect()
+    assert [s.version for s in snaps] == [0, 1]
+    assert snaps[1].parent == 0
+    assert '"wave": 1' in snaps[1].meta_json
+    files = store.files_df(spark, "t")
+    assert files.count() == len(store.manifest("t")["files"])
