@@ -30,17 +30,20 @@ from csxj_crawler_spark.sources.snapshot import SnapshotStore
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+CRAWL_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "12"))
 IMG_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_PAGES", "3000"))
 
 
-def _bench_fixture(n_pages: int, with_images: bool, tag: str) -> str:
+def _bench_fixture(
+    n_pages: int, with_images: bool, tag: str, hosts_per_source: int | None = None
+) -> str:
     d = os.path.join(tempfile.gettempdir(), f"csxj_bench_{tag}_{n_pages}")
     marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
         generator.generate(
             d, n_pages=n_pages, seed=42, with_images=with_images,
-            n_seeds_per_source=20,
+            n_seeds_per_source=20, hosts_per_source=hosts_per_source,
         )
         with open(marker, "w") as f:
             f.write("ok")
@@ -74,16 +77,24 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.time() - t0, 3)
 
-    # crawl-engine throughput (frontier URLs processed / sec)
-    crawl_dir = _bench_fixture(CRAWL_PAGES, with_images=False, tag="crawl")
-    store = SnapshotStore(tempfile.mkdtemp(prefix="csxj_bench_store_"))
-    eng = CrawlEngine(spark, store, n_buckets=64)
+    # crawl-engine throughput (frontier URLs processed / sec) on a web with
+    # realistic host diversity (1000 hosts) so politeness waves carry
+    # thousands of URLs — the regime the 10^10 design targets.  The 13-host
+    # golden fixture stays the correctness gate in tests/.
+    crawl_dir = _bench_fixture(
+        CRAWL_PAGES, with_images=False, tag="crawlw", hosts_per_source=250
+    )
+    store = SnapshotStore(tempfile.mkdtemp(prefix="csxj_bench_store_"), write_tasks=8)
+    eng = CrawlEngine(spark, store, n_buckets=32, wave_budget=50_000)
     seeds = spark.read.parquet(f"{crawl_dir}/seeds.parquet")
     graph = spark.read.parquet(f"{crawl_dir}/web_graph.parquet").cache()
     graph.count()
     robots = spark.read.parquet(f"{crawl_dir}/robots.parquet")
     t0 = time.time()
-    stats = eng.run(seeds, graph, robots)
+    # 12 waves cover frontier growth → peak → early drain (the design
+    # regime); beyond that the small fixture is politeness-starved (~3
+    # URLs/wave on the hot host) which measures rate limits, not the engine
+    stats = eng.run(seeds, graph, robots, max_waves=CRAWL_WAVES)
     crawl_sec = time.time() - t0
     processed = sum(s.fetched + s.errors for s in stats)
     times["q11_crawl"] = round(crawl_sec, 3)

@@ -41,10 +41,12 @@ def source_of_host(host: str) -> str:
     return host.split("-", 1)[0]
 
 
-def make_hosts(rng: np.random.RandomState) -> list[str]:
+def make_hosts(
+    rng: np.random.RandomState, hosts_per_source: int | None = None
+) -> list[str]:
     hosts = []
     for src in spec.SOURCE_ORDER:
-        n = 4 if src == "lesoir" else 3
+        n = hosts_per_source or (4 if src == "lesoir" else 3)
         hosts += [f"{src}-{k}.example" for k in range(n)]
     return hosts
 
@@ -82,11 +84,16 @@ def generate(
     seed: int = 42,
     with_images: bool = True,
     n_seeds_per_source: int = 10,
+    hosts_per_source: int | None = None,
 ) -> dict[str, str]:
-    """Write all fixture tables under ``out_dir``; returns name→path map."""
+    """Write all fixture tables under ``out_dir``; returns name→path map.
+
+    ``hosts_per_source`` widens the synthetic web (default 4/3/3/3 hosts, the
+    golden-test shape); bench/scaling fixtures use hundreds of hosts so waves
+    carry thousands of URLs (the politeness cap is per host)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
-    hosts = make_hosts(rng)
+    hosts = make_hosts(rng, hosts_per_source)
 
     # --- page population: skewed host assignment --------------------------
     weights = np.full(len(hosts), 0.7 / (len(hosts) - 1))

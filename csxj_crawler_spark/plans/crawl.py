@@ -40,6 +40,18 @@ from csxj_crawler_spark.sources.snapshot import SnapshotStore
 
 _POS_BITS = 20  # outlink position bits in discovered_seq encoding
 
+import pyarrow as pa  # noqa: E402
+
+_METRICS_SCHEMA = pa.schema(
+    [
+        ("wave", pa.int32()),
+        ("urls_in", pa.int64()),
+        ("urls_new", pa.int64()),
+        ("fetched", pa.int64()),
+        ("errors", pa.int64()),
+    ]
+)
+
 
 @dataclass
 class WaveStats:
@@ -66,6 +78,8 @@ class CrawlEngine:
         self.n_buckets = n_buckets
         self.wave_budget = wave_budget
         self.use_pandas_canon = use_pandas_canon
+        #: compact seen/fetch_log when their manifests exceed this many files
+        self.compact_files = max(64, 4 * n_buckets)
 
     # -- helpers -------------------------------------------------------------
     def _canon(self, col):
@@ -122,13 +136,10 @@ class CrawlEngine:
         self, wave: int, seq_offset: int, graph: DataFrame, robots: DataFrame
     ) -> tuple[WaveStats, int]:
         spark = self.spark
+        # exact frontier size from manifest file stats — zero Spark jobs
+        urls_in = self.store.row_count("queued") or 0
         queued = self.store.read(spark, "queued")
-        if queued is None:
-            return WaveStats(wave, 0, 0, 0, 0), seq_offset
-        queued = queued.cache()
-        urls_in = queued.count()
-        if urls_in == 0:
-            queued.unpersist()
+        if queued is None or urls_in == 0:
             return WaveStats(wave, 0, 0, 0, 0), seq_offset
 
         # robots gating (P4): broadcast the small per-host dim
@@ -188,9 +199,10 @@ class CrawlEngine:
             .cache()
         )
 
-        # J2 fetch: broadcast the small selection, stream the huge graph once
+        # J2 fetch: broadcast the small selection, stream the huge graph once;
+        # hits is wave-sized — cache it so fetch_log AND discovery reuse it
         g = graph.select("url", "outlinks", "status", "image_id")
-        hits = g.join(F.broadcast(sel), "url", "inner")
+        hits = g.join(F.broadcast(sel), "url", "inner").cache()
         miss = sel.join(
             F.broadcast(hits.select("url")), "url", "left_anti"
         ).select(
@@ -210,10 +222,7 @@ class CrawlEngine:
                     F.col("status").cast("int").alias("status"), "image_id",
                 )
             )
-            .cache()
         )
-        fetched = fetch_log.filter("status = 200").count()
-        errors = fetch_log.filter("status <> 200").count()
 
         # discovery: explode outlinks of successful fetches, canonicalize,
         # encode deterministic discovered_seq, within-wave keep-first dedup
@@ -256,14 +265,28 @@ class CrawlEngine:
             )
             .cache()
         )
-        urls_new = new.count()
 
-        # commits — each is an atomic snapshot (resume point)
-        next_seq = seq_offset + fetched + errors
-        self.store.commit(
+        # commits — each is an atomic snapshot (resume point).
+        # fetch_log is partitioned by status so ok/error counts fall out of
+        # the manifest's per-partition row stats — no counting job at all.
+        log_man = self.store.commit(
             fetch_log.drop("url_hash"), "fetch_log", mode="append",
-            partition_by=None, meta={"wave": wave, "next_seq": next_seq},
+            partition_by=["status"], meta={"wave": wave},
         )
+        new_log = log_man["files"][-log_man["new_files"]:] if log_man["new_files"] else []
+        fetched = sum(f.get("rows", 0) for f in new_log if f["partition"].get("status") == "200")
+        errors = sum(f.get("rows", 0) for f in new_log if f["partition"].get("status") != "200")
+        next_seq = seq_offset + fetched + errors
+        # stamp next_seq into the manifest chain via the queued commit below
+        seen_man = self.store.commit(
+            new.select("url_hash", "url", "host_bucket", "discovered_seq"),
+            "seen", mode="append", partition_by=["host_bucket"],
+            meta={"wave": wave},
+        )
+        # urls_new from the commit's own file stats — no count job
+        urls_new = sum(
+            f.get("rows", 0) for f in seen_man["files"][-seen_man["new_files"]:]
+        ) if seen_man["new_files"] else 0
         survivors = queued.join(sel.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         survivors = survivors.join(
             excluded.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
@@ -272,25 +295,36 @@ class CrawlEngine:
             "url", "url_hash", "host", "host_bucket", "source", "priority",
             "discovered_seq", "wave_discovered",
         ).unionByName(new)
-        self.store.commit(
+        queued_man = self.store.commit(
             next_queued, "queued", mode="overwrite", partition_by=["host_bucket"],
             meta={"wave": wave, "next_seq": next_seq},
         )
-        self.store.commit(
-            new.select("url_hash", "url", "host_bucket", "discovered_seq"),
-            "seen", mode="append", partition_by=["host_bucket"],
+        # excluded rows = queued - selected - survivors + new, from manifest
+        # stats; only spend a write job on the excluded table when nonempty
+        next_rows = sum(f.get("rows", 0) for f in queued_man["files"])
+        n_excluded = urls_in - (fetched + errors) - (next_rows - urls_new)
+        if n_excluded > 0:
+            self.store.commit(excluded, "excluded", mode="append", meta={"wave": wave})
+        stats = WaveStats(wave, urls_in, urls_new, fetched, errors)
+        self.store.commit_pylist(
+            [
+                {
+                    "wave": wave, "urls_in": urls_in, "urls_new": urls_new,
+                    "fetched": fetched, "errors": errors,
+                }
+            ],
+            _METRICS_SCHEMA,
+            "wave_metrics",
+            mode="append",
             meta={"wave": wave},
         )
-        self.store.commit(excluded, "excluded", mode="append", meta={"wave": wave})
-        stats = WaveStats(wave, urls_in, urls_new, fetched, errors)
-        metrics = spark.createDataFrame(
-            [(wave, urls_in, urls_new, fetched, errors)],
-            schema="wave int, urls_in long, urls_new long, fetched long, errors long",
-        )
-        self.store.commit(metrics, "wave_metrics", mode="append", meta={"wave": wave})
-        queued.unpersist()
+        # amortized maintenance: keep append-heavy tables' file counts bounded
+        if self.store.file_count("seen") > self.compact_files:
+            self.store.compact(spark, "seen", partition_by=["host_bucket"])
+        if self.store.file_count("fetch_log") > self.compact_files:
+            self.store.compact(spark, "fetch_log", partition_by=["status"])
         sel.unpersist()
-        fetch_log.unpersist()
+        hits.unpersist()
         new.unpersist()
         return stats, next_seq
 

@@ -27,6 +27,8 @@ import re
 import shutil
 import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 _PART_RE = re.compile(r"([A-Za-z0-9_]+)=([^/]+)/")
@@ -35,8 +37,15 @@ _PART_RE = re.compile(r"([A-Za-z0-9_]+)=([^/]+)/")
 class SnapshotStore:
     """A directory of snapshot-versioned parquet tables."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, write_tasks: int | None = None):
+        """``write_tasks`` caps the shuffle width of partitioned commit
+        writes (AQE cannot coalesce an explicit ``repartition(cols)``, so
+        wave-sized commits would otherwise pay full-width task overhead).
+        ``None`` uses ``spark.sql.shuffle.partitions``.  Size it to the
+        expected commit volume: ~8 for bench-scale waves, hundreds on a
+        real cluster."""
         self.root = root
+        self.write_tasks = write_tasks
         os.makedirs(root, exist_ok=True)
 
     # -- paths --------------------------------------------------------------
@@ -88,7 +97,10 @@ class SnapshotStore:
         if partition_by:
             # co-locate rows of one partition into one task → one file per
             # partition value instead of tasks×partitions small files
-            df = df.repartition(*partition_by)
+            if self.write_tasks:
+                df = df.repartition(self.write_tasks, *partition_by)
+            else:
+                df = df.repartition(*partition_by)
             writer = df.write.mode("overwrite").partitionBy(*partition_by)
         else:
             writer = df.write.mode("overwrite")
@@ -109,7 +121,11 @@ class SnapshotStore:
                 os.makedirs(dest_dir, exist_ok=True)
                 dest = os.path.join(dest_dir, f"{commit_id}-{i:05d}.parquet")
                 os.rename(os.path.join(dirpath, fn), dest)
-                files.append({"path": dest, "partition": parts})
+                # row count from the parquet footer — a local metadata read,
+                # no Spark job; lets the engine answer "how many rows" from
+                # the manifest alone (Iceberg keeps the same per-file stats)
+                nrows = pq.ParquetFile(dest).metadata.num_rows
+                files.append({"path": dest, "partition": parts, "rows": nrows})
                 i += 1
         shutil.rmtree(os.path.join(self._tdir(table), ".tmp"), ignore_errors=True)
 
@@ -135,6 +151,99 @@ class SnapshotStore:
             json.dump(man, f)
         os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))  # atomic
         return man
+
+    def commit_pylist(
+        self,
+        rows: list[dict],
+        schema: "pa.Schema",
+        table: str,
+        mode: str = "append",
+        meta: dict | None = None,
+    ) -> dict:
+        """Commit a tiny driver-side table (e.g. one wave-metrics row) as a
+        parquet file written directly with pyarrow — zero Spark jobs.  Same
+        manifest semantics as :meth:`commit`."""
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self._tdir(table), "data")
+        os.makedirs(data_dir, exist_ok=True)
+        dest = os.path.join(data_dir, f"{commit_id}-00000.parquet")
+        t = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(t, dest)
+        parent = self.current_version(table)
+        prev = self.manifest(table) if parent is not None else None
+        live = list(prev["files"]) if (prev and mode == "append") else []
+        live.append({"path": dest, "partition": {}, "rows": len(rows)})
+        version = 0 if parent is None else parent + 1
+        man = {
+            "table": table,
+            "version": version,
+            "parent": parent,
+            "commit": commit_id,
+            "mode": mode,
+            "files": live,
+            "new_files": 1,
+            "meta": meta or {},
+        }
+        snap_dir = self._snap_dir(table)
+        os.makedirs(snap_dir, exist_ok=True)
+        tmp = os.path.join(snap_dir, f".v{version}.json.{commit_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))
+        return man
+
+    def partition_rows(
+        self, table: str, key: str, version: int | None = None
+    ) -> dict[str, int]:
+        """Row counts per partition value from manifest stats (no Spark)."""
+        man = self.manifest(table, version)
+        out: dict[str, int] = {}
+        if man is None:
+            return out
+        for f in man["files"]:
+            v = f["partition"].get(key)
+            if v is not None:
+                out[v] = out.get(v, 0) + f.get("rows", 0)
+        return out
+
+    def file_count(self, table: str) -> int:
+        man = self.manifest(table)
+        return 0 if man is None else len(man["files"])
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> dict | None:
+        """Rewrite a table's live files into one file per partition (Iceberg
+        'rewrite_data_files').  Amortized maintenance: call when the manifest
+        file count crosses a threshold so appends stay O(delta) but reads
+        stay O(partitions)."""
+        df = self.read(spark, table)
+        if df is None:
+            return None
+        m = dict(meta or {})
+        m.setdefault("compaction", True)
+        prev = self.manifest(table)
+        if prev and not meta:
+            m = {**prev["meta"], "compaction": True}
+        return self.commit(df, table, mode="overwrite", partition_by=partition_by, meta=m)
+
+    def row_count(self, table: str, version: int | None = None) -> int | None:
+        """Exact row count of a snapshot from manifest stats alone (no Spark
+        job).  Falls back to footer reads for pre-stats manifests."""
+        man = self.manifest(table, version)
+        if man is None:
+            return None
+        total = 0
+        for f in man["files"]:
+            r = f.get("rows")
+            if r is None:
+                r = pq.ParquetFile(f["path"]).metadata.num_rows
+            total += r
+        return total
 
     # -- read ---------------------------------------------------------------
     def read(
