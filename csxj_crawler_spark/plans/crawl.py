@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from csxj_crawler_spark import spec
 from csxj_crawler_spark.functions import urls as U
+from csxj_crawler_spark.operators import membership as M
 from csxj_crawler_spark.sources.snapshot import SnapshotStore
 
 _POS_BITS = 20  # outlink position bits in discovered_seq encoding
@@ -72,12 +73,19 @@ class CrawlEngine:
         n_buckets: int = spec.DEFAULT_HOST_BUCKETS,
         wave_budget: int = spec.WAVE_URL_BUDGET,
         use_pandas_canon: bool = False,
+        use_bloom: bool = True,
+        salt: int = spec.DEFAULT_SALT,
     ):
         self.spark = spark
         self.store = store
         self.n_buckets = n_buckets
         self.wave_budget = wave_budget
         self.use_pandas_canon = use_pandas_canon
+        #: bloom-backed seen set (D2-D4): per-bucket blobs prefilter
+        #: discoveries so the exact anti-join only sees 'maybe seen' rows
+        self.use_bloom = use_bloom
+        #: salt cardinality for the two-level skew-safe politeness window
+        self.salt = salt
         #: compact seen/fetch_log when their manifests exceed this many files
         self.compact_files = max(64, 4 * n_buckets)
 
@@ -97,6 +105,75 @@ class CrawlEngine:
         df = df.withColumn("url_hash", U.url_hash(F.col("url")))
         df = df.withColumn("host", U.host_of(F.col("url")))
         return df.withColumn("host_bucket", U.host_bucket(F.col("host"), self.n_buckets))
+
+    # -- bloom-backed seen set (D1-D4) ---------------------------------------
+    def _dedup_new(self, disc: DataFrame) -> DataFrame:
+        """Discoveries not yet in the seen set — the D1 exact dedup with the
+        D3 bloom prefilter in front.
+
+        Plan shape chosen for a 10^10-row seen table:
+
+        * the bloom probe (per-``host_bucket`` blobs, cogrouped Arrow batch)
+          marks definite-new rows WITHOUT touching the seen table — blooms
+          have no false negatives, so only 'maybe seen' rows need the exact
+          check;
+        * the exact check never shuffles seen: a left-semi join streams the
+          (bucket-pruned) seen scan against the broadcast 'maybe' set to
+          find true matches, then the anti-join is against that tiny match
+          set.  Catalyst would otherwise have to broadcast or shuffle the
+          10^10-row side of a plain left_anti.
+        """
+        keys = ["url_hash", "url"]
+        blooms = self._blooms() if self.use_bloom else None
+        if blooms is None:
+            seen = self.store.read(self.spark, "seen")
+            if seen is None:
+                return disc
+            return disc.join(seen.select(*keys), keys, "left_anti")
+        # cache the probe output: it feeds both the broadcast build side and
+        # the final anti-join, and the Arrow cogroup shouldn't run twice
+        probed = M.bloom_prefilter(disc, blooms).cache()
+        self._wave_caches.append(probed)
+        maybe_keys = probed.filter(F.col("maybe_seen")).select(*keys)
+        seen = self.store.read(self.spark, "seen").select(*keys)
+        matches = seen.join(F.broadcast(maybe_keys), keys, "left_semi")
+        # anti-join against the tiny true-match set: definite-new rows pass
+        # straight through (they cannot be in matches)
+        return probed.join(F.broadcast(matches), keys, "left_anti").drop("maybe_seen")
+
+    def _blooms(self) -> DataFrame | None:
+        """Current bloom blobs, or None when absent/stale (then rebuilt).
+
+        Validity invariant: a bloom commit tagged ``seen_rows = n`` covers
+        the first n rows of the append-only seen table; equal row counts ⇒
+        superset of seen ⇒ no false negatives (compaction preserves rows)."""
+        man = self.store.manifest("blooms")
+        seen_rows = self.store.row_count("seen") or 0
+        if man is not None and man["meta"].get("seen_rows") == seen_rows:
+            return self.store.read(self.spark, "blooms")
+        seen = self.store.read(self.spark, "seen")
+        if seen is None:
+            return None
+        blooms = M.build_blooms(seen)
+        self.store.commit(
+            blooms, "blooms", mode="overwrite", meta={"seen_rows": seen_rows}
+        )
+        return self.store.read(self.spark, "blooms")
+
+    def _update_blooms(self, new: DataFrame) -> None:
+        """OR-merge the just-committed discoveries into the per-bucket blobs
+        (D4) and stamp the covered seen row count."""
+        if not self.use_bloom:
+            return
+        seen_rows = self.store.row_count("seen") or 0
+        delta = M.build_blooms(new)
+        prev = self.store.read(self.spark, "blooms")
+        merged = delta if prev is None else M.merge_blooms(
+            delta.unionByName(prev.select(*delta.columns))
+        )
+        self.store.commit(
+            merged, "blooms", mode="overwrite", meta={"seen_rows": seen_rows}
+        )
 
     # -- bootstrap (wave-0 frontier from the shared seed list) ---------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -136,6 +213,7 @@ class CrawlEngine:
         self, wave: int, seq_offset: int, graph: DataFrame, robots: DataFrame
     ) -> tuple[WaveStats, int]:
         spark = self.spark
+        self._wave_caches: list[DataFrame] = []
         # exact frontier size from manifest file stats — zero Spark jobs
         urls_in = self.store.row_count("queued") or 0
         queued = self.store.read(spark, "queued")
@@ -164,14 +242,28 @@ class CrawlEngine:
         excluded = q.filter("is_excluded").select("url", "url_hash", "host", "host_bucket")
         candidates = q.filter(~F.col("is_excluded"))
 
-        # W1: per-host politeness-aware selection — top-c by (prio, seq)
-        per_host = Window.partitionBy("host").orderBy(
-            F.desc("priority"), F.asc("discovered_seq")
-        )
+        # W1: per-host politeness-aware selection — top-c by (prio, seq).
+        # Two-level salted top-k (J4 skew handling): a hot host with 10^8
+        # queued rows would otherwise sort in ONE window task.  Stage 1 takes
+        # top-c per (host, salt) — S parallel tasks per hot host — stage 2
+        # ranks the surviving ≤ c*S rows per host.  top-c(host) ⊆
+        # ∪_salt top-c(host, salt), so the result is exact.
         budget_c = F.greatest(
             F.lit(1),
             F.floor(F.lit(spec.WAVE_SECONDS) / F.col("crawl_delay")).cast("int"),
         )
+        order = (F.desc("priority"), F.asc("discovered_seq"))
+        if self.salt > 1:
+            per_salt = Window.partitionBy("host", "salt").orderBy(*order)
+            candidates = (
+                candidates.withColumn(
+                    "salt", F.pmod(F.xxhash64("url"), F.lit(self.salt)).cast("int")
+                )
+                .withColumn("salt_rank", F.row_number().over(per_salt))
+                .filter(F.col("salt_rank") <= budget_c)
+                .drop("salt", "salt_rank")
+            )
+        per_host = Window.partitionBy("host").orderBy(*order)
         sel = (
             candidates.withColumn("host_rank", F.row_number().over(per_host) - 1)
             .filter(F.col("host_rank") < budget_c)
@@ -245,10 +337,8 @@ class CrawlEngine:
                 F.min_by("parent_source", "enc_seq").alias("parent_source"),
             )
         )
-        seen = self.store.read(spark, "seen").select("url_hash", "url")
-        disc = disc.withColumn("url_hash", U.url_hash(F.col("url")))
-        new = disc.join(seen, ["url_hash", "url"], "left_anti")
-        new = self._frontier_cols(new.drop("url_hash"))
+        disc = self._frontier_cols(disc)
+        new = self._dedup_new(disc)
         prefix = F.split(F.col("host"), "-").getItem(0)
         new = (
             new.withColumn(
@@ -287,6 +377,8 @@ class CrawlEngine:
         urls_new = sum(
             f.get("rows", 0) for f in seen_man["files"][-seen_man["new_files"]:]
         ) if seen_man["new_files"] else 0
+        if urls_new > 0:
+            self._update_blooms(new)
         survivors = queued.join(sel.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         survivors = survivors.join(
             excluded.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
@@ -326,6 +418,9 @@ class CrawlEngine:
         sel.unpersist()
         hits.unpersist()
         new.unpersist()
+        for c in self._wave_caches:
+            c.unpersist()
+        self._wave_caches = []
         return stats, next_seq
 
     # -- full run (resumable) -------------------------------------------------

@@ -88,3 +88,21 @@ def test_politeness_audit(engine_run, spark, fix_dir):
         .filter(F.col("gap") < F.coalesce("crawl_delay", F.lit(1.0)) - 1e-9)
     )
     assert gaps.count() == 0
+
+
+def test_parity_across_engine_configs(golden, spark, fix_dir, tmp_path_factory):
+    """The bloom prefilter and salted two-level window are pure execution
+    strategies: disabling both must yield the identical judged outputs."""
+    from csxj_crawler_spark.plans.crawl import CrawlEngine
+    from csxj_crawler_spark.sources.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("plain_store")))
+    eng = CrawlEngine(spark, store, n_buckets=8, use_bloom=False, salt=1)
+    eng.run(
+        spark.read.parquet(f"{fix_dir}/seeds.parquet"),
+        spark.read.parquet(f"{fix_dir}/web_graph.parquet"),
+        spark.read.parquet(f"{fix_dir}/robots.parquet"),
+    )
+    got = [(r["seq"], r["url"]) for r in eng.crawl_order().collect()]
+    want = [(r["seq"], r["url"]) for r in golden.crawl_order]
+    assert got == want
