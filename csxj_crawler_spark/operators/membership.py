@@ -167,6 +167,35 @@ def bloom_prefilter(candidates: DataFrame, blooms: DataFrame) -> DataFrame:
     )
 
 
+def bloom_probe_maybe(candidates: DataFrame, blooms: DataFrame) -> DataFrame:
+    """D3, narrow form: returns only the ``(host_bucket, url_hash)`` rows the
+    bloom flags as 'maybe seen'.
+
+    The Arrow boundary carries 12 bytes/candidate in and almost nothing out
+    (the maybe-set is FP-rate sized), instead of full candidate rows both
+    ways — the difference between a bandwidth-bound probe and a compute-bound
+    one.  Callers re-attach the verdict with broadcast joins on the hash."""
+
+    def _probe(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0 or len(blm) == 0:
+            return pd.DataFrame(
+                {"host_bucket": pd.Series([], dtype="int32"),
+                 "url_hash": pd.Series([], dtype="int64")}
+            )
+        words = np.frombuffer(blm["bloom"].iloc[0], dtype=np.uint64)
+        hit = bloom_probe_bits(
+            cand["url_hash"].to_numpy(), words, int(blm["m"].iloc[0]), int(blm["k"].iloc[0])
+        )
+        return cand[hit]
+
+    return (
+        candidates.select("host_bucket", "url_hash")
+        .groupBy("host_bucket")
+        .cogroup(blooms.groupBy("host_bucket"))
+        .applyInPandas(_probe, "host_bucket int, url_hash long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cuckoo filter (D5): membership with deletion, per the public design
 # ---------------------------------------------------------------------------

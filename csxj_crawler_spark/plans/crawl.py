@@ -130,16 +130,18 @@ class CrawlEngine:
             if seen is None:
                 return disc
             return disc.join(seen.select(*keys), keys, "left_anti")
-        # cache the probe output: it feeds both the broadcast build side and
-        # the final anti-join, and the Arrow cogroup shouldn't run twice
-        probed = M.bloom_prefilter(disc, blooms).cache()
-        self._wave_caches.append(probed)
-        maybe_keys = probed.filter(F.col("maybe_seen")).select(*keys)
+        # narrow probe: ship only (bucket, hash) through Arrow, get back the
+        # FP-rate-sized maybe-set; cache it — it feeds two broadcast builds
+        maybe_h = M.bloom_probe_maybe(disc, blooms).cache()
+        self._wave_caches.append(maybe_h)
+        maybe_keys = disc.join(
+            F.broadcast(maybe_h), ["host_bucket", "url_hash"], "left_semi"
+        ).select(*keys)
         seen = self.store.read(self.spark, "seen").select(*keys)
         matches = seen.join(F.broadcast(maybe_keys), keys, "left_semi")
         # anti-join against the tiny true-match set: definite-new rows pass
         # straight through (they cannot be in matches)
-        return probed.join(F.broadcast(matches), keys, "left_anti").drop("maybe_seen")
+        return disc.join(F.broadcast(matches), keys, "left_anti")
 
     def _blooms(self) -> DataFrame | None:
         """Current bloom blobs, or None when absent/stale (then rebuilt).

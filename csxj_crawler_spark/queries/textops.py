@@ -169,29 +169,41 @@ JACCARD_T = 0.12
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir)
+    # Linear shingle construction: zip_with over three shifted slices.
+    # (transform(sequence, i -> element_at(toks, i+k)) re-evaluates the
+    # split() for EVERY index once CollapseProject inlines the alias —
+    # O(tokens^2) per document; slices evaluate it a constant 3 times.)
     toks = _toks(F.col("text"))
-    mk = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+    n = F.size(toks)
+    m = F.greatest(n - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
+        F.slice(toks, 3, m),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
-    sh = F.array_distinct(
-        F.when(F.size(toks) >= 3, mk).otherwise(F.expr("CAST(array() AS array<string>)"))
+    sh = F.array_distinct(tri)
+    # join on the 64-bit shingle hash with a minimal (doc_id, h) payload —
+    # the exploded self-join shuffles far less than with string shingles —
+    # and bring per-doc shingle counts back via a broadcast lookup
+    s = d.select("doc_id", sh.alias("sh"))
+    sizes = s.select("doc_id", F.size("sh").alias("n_sh"))
+    e = s.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
-    s = d.select("doc_id", sh.alias("sh")).select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
-    a, b = s.alias("a"), s.alias("b")
+    a, b = e.alias("a"), e.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("inter"))
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})), "doc_b")
         .withColumn("raw_j", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .filter(F.col("raw_j") >= JACCARD_T)
         .withColumn("jaccard", F.round(F.col("raw_j"), 6))
