@@ -210,6 +210,73 @@ class CrawlEngine:
             meta={"wave": -1},
         )
 
+    #: outlink position offset for injected seeds — far above any real
+    #: page's outlink count, so injected discovered_seq values can never
+    #: collide with discovery encodings of the same parent seq
+    _INJECT_POS = 500_000
+
+    def inject_seeds(self, seeds: DataFrame) -> int:
+        """Append a later seed batch (≙ a later reference cron tick's TOC)
+        into a live crawl: canonicalize, dedup against the seen set, enqueue
+        behind everything already discovered.
+
+        ``discovered_seq = (next_seq+1) * 2^20 + _INJECT_POS + seed_rank``
+        — deterministic given the committed checkpoint, totally ordered
+        after all existing frontier rows of the same host, and idempotent
+        (a replayed batch's URLs are already in seen and drop out).
+        Returns the number of genuinely new URLs enqueued."""
+        man = self.store.manifest("queued")
+        if man is None:
+            self.bootstrap(seeds)
+            return self.store.row_count("queued") or 0
+        next_seq = man["meta"]["next_seq"]
+        wave = man["meta"]["wave"] + 1
+        s = seeds.select(
+            self._canon(F.col("url")).alias("url"),
+            "source",
+            "priority",
+            "seed_rank",
+        )
+        w = Window.partitionBy("url").orderBy("seed_rank")
+        s = s.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        s = self._frontier_cols(s)
+        disc = s.withColumn(
+            "discovered_seq",
+            (F.lit(next_seq).cast("long") + 1) * F.lit(1 << _POS_BITS).cast("long")
+            + F.lit(self._INJECT_POS)
+            + F.col("seed_rank").cast("long"),
+        ).drop("seed_rank")
+        self._wave_caches = []
+        new = self._dedup_new(disc).withColumn("wave_discovered", F.lit(wave)).cache()
+        self._wave_caches.append(new)
+        cols = [
+            "url", "url_hash", "host", "host_bucket", "source", "priority",
+            "discovered_seq", "wave_discovered",
+        ]
+        queued = self.store.read(self.spark, "queued")
+        next_queued = new.select(*cols)
+        if queued is not None:  # a fully-drained frontier reads as None
+            next_queued = queued.select(*cols).unionByName(next_queued)
+        self.store.commit(
+            next_queued,
+            "queued", mode="overwrite", partition_by=["host_bucket"],
+            meta=man["meta"],
+        )
+        seen_man = self.store.commit(
+            new.select("url_hash", "url", "host_bucket", "discovered_seq"),
+            "seen", mode="append", partition_by=["host_bucket"],
+            meta={"wave": wave, "injected": True},
+        )
+        n_new = sum(
+            f.get("rows", 0) for f in seen_man["files"][-seen_man["new_files"]:]
+        ) if seen_man["new_files"] else 0
+        if n_new > 0:
+            self._update_blooms(new)
+        for c in self._wave_caches:
+            c.unpersist()
+        self._wave_caches = []
+        return n_new
+
     # -- one wave -------------------------------------------------------------
     def step(
         self, wave: int, seq_offset: int, graph: DataFrame, robots: DataFrame

@@ -33,7 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "8000000"))
+N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "16000000"))
 N_HOSTS = 2000
 # N and 4N cores.  Default 2→8: on this single-socket sandbox VM the
 # string-heavy scan/canonicalize stages saturate memory bandwidth around
