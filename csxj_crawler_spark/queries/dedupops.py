@@ -154,7 +154,37 @@ def q_dedup_simhash(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_membership_cuckoo(spark, sf_dir) -> DataFrame:
+    """D5 cuckoo-filter membership over document fingerprints: build one
+    filter per bucket from the even half, probe the odd half, return probed
+    rows flagged maybe-present.  Deletion support is what distinguishes the
+    cuckoo path (frontier retractions); no SQL oracle — the filter's exact
+    no-false-negative contract is verified in tests/test_membership.py."""
+    from csxj_crawler_spark.operators.membership import CuckooFilter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.xxhash64("text").alias("h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("bucket"),
+        F.col("doc_id"),
+    )
+    def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = pdf[pdf["h"] % 2 == 0]
+        p = pdf[pdf["h"] % 2 != 0]
+        cf = CuckooFilter(capacity=max(64, len(b)))
+        if len(b):
+            cf.insert_many(b["h"].to_numpy())
+        hit = cf.contains_many(p["h"].to_numpy()) if len(p) else []
+        return pd.DataFrame({"doc_id": p["doc_id"], "maybe_present": list(hit)})
+
+    return (
+        d.groupBy("bucket")
+        .applyInPandas(_per_bucket, "doc_id long, maybe_present boolean")
+        .filter("NOT maybe_present")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "membership_cuckoo": (q_membership_cuckoo, None),
 }

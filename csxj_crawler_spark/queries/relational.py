@@ -474,8 +474,129 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# J5 — as-of join: latest order of the same customer at or before each event.
+# Scale pattern: union + per-key window (last-non-null carry-forward) — never
+# the (customer x orders) blowup of a join+agg as-of.
+# --------------------------------------------------------------------------
+def q_asof_event_order(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 2000)
+    o = _t(spark, sf_dir, "orders")
+    o_t = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("pt"),
+        F.lit(0).alias("kind"),  # orders sort before events at equal ts
+        F.col("o_orderkey").alias("ok"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e_t = e.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("pt"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("ok"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("pt", "kind", "ok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = o_t.unionByName(e_t).withColumn(
+        "asof_orderkey", F.last("ok", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .select("event_id", "key", F.col("asof_orderkey"))
+        .withColumnRenamed("key", "user_id")
+    )
+
+
+SQL_asof_event_order = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  WHERE e.user_id <= 2000
+)
+SELECT e.event_id, e.user_id, j.o_orderkey AS asof_orderkey
+FROM (SELECT event_id, user_id FROM events WHERE user_id <= 2000) e
+LEFT JOIN (SELECT event_id, o_orderkey FROM j WHERE rn = 1) j USING (event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# W5 — rank / dense_rank / ntile per group
+# --------------------------------------------------------------------------
+def q_window_rank_ntile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+SQL_window_rank_ntile = """
+SELECT c_custkey, c_nationkey,
+       RANK() OVER w AS bal_rank,
+       DENSE_RANK() OVER w AS bal_dense_rank,
+       NTILE(4) OVER w AS bal_quartile
+FROM customer WHERE c_nationkey < 5
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — cube (all grouping-set combinations) over order status x priority
+# --------------------------------------------------------------------------
+def q_cube_order_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_cube_order_stats = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# O4 — intersect: customers ordering in BOTH 1994 and 1995
+# --------------------------------------------------------------------------
+def q_set_intersect_1994_1995(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.intersect(y95).withColumnRenamed("o_custkey", "custkey")
+
+
+SQL_set_intersect_1994_1995 = """
+SELECT o_custkey AS custkey FROM orders WHERE YEAR(o_orderdate) = 1994
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_agg_pricing_summary),
+    "asof_event_order": (q_asof_event_order, SQL_asof_event_order),
+    "window_rank_ntile": (q_window_rank_ntile, SQL_window_rank_ntile),
+    "cube_order_stats": (q_cube_order_stats, SQL_cube_order_stats),
+    "set_intersect_1994_1995": (q_set_intersect_1994_1995, SQL_set_intersect_1994_1995),
     "join_top_revenue_orders": (q_join_top_revenue_orders, SQL_join_top_revenue_orders),
     "join_broadcast_dims": (q_join_broadcast_dims, SQL_join_broadcast_dims),
     "anti_join_customers": (q_anti_join_customers, SQL_anti_join_customers),
