@@ -484,6 +484,8 @@ class CrawlEngine:
             self.store.compact(spark, "seen", partition_by=["host_bucket"])
         if self.store.file_count("fetch_log") > self.compact_files:
             self.store.compact(spark, "fetch_log", partition_by=["status"])
+        if self.store.file_count("excluded") > self.compact_files:
+            self.store.compact(spark, "excluded")
         sel.unpersist()
         hits.unpersist()
         new.unpersist()
