@@ -200,15 +200,17 @@ class CrawlEngine:
                 F.col("seed_rank").cast("long").alias("discovered_seq"),
             ).withColumn("wave_discovered", F.lit(0))
         )
-        self.store.commit(
+        txn = self.store.transaction()
+        txn.stage(
             q, "queued", mode="overwrite", partition_by=["host_bucket"],
             meta={"wave": -1, "next_seq": 0},
         )
         seen = q.select("url_hash", "url", "host_bucket", "discovered_seq")
-        self.store.commit(
+        txn.stage(
             seen, "seen", mode="overwrite", partition_by=["host_bucket"],
             meta={"wave": -1},
         )
+        txn.commit(meta={"wave": -1, "next_seq": 0})
 
     #: outlink position offset for injected seeds — far above any real
     #: page's outlink count, so injected discovered_seq values can never
@@ -257,16 +259,18 @@ class CrawlEngine:
         next_queued = new.select(*cols)
         if queued is not None:  # a fully-drained frontier reads as None
             next_queued = queued.select(*cols).unionByName(next_queued)
-        self.store.commit(
+        txn = self.store.transaction()
+        txn.stage(
             next_queued,
             "queued", mode="overwrite", partition_by=["host_bucket"],
             meta=man["meta"],
         )
-        seen_man = self.store.commit(
+        seen_man = txn.stage(
             new.select("url_hash", "url", "host_bucket", "discovered_seq"),
             "seen", mode="append", partition_by=["host_bucket"],
             meta={"wave": wave, "injected": True},
         )
+        txn.commit(meta={"wave": wave, "injected": True})
         n_new = sum(
             f.get("rows", 0) for f in seen_man["files"][-seen_man["new_files"]:]
         ) if seen_man["new_files"] else 0
@@ -425,10 +429,13 @@ class CrawlEngine:
             .cache()
         )
 
-        # commits — each is an atomic snapshot (resume point).
-        # fetch_log is partitioned by status so ok/error counts fall out of
-        # the manifest's per-partition row stats — no counting job at all.
-        log_man = self.store.commit(
+        # commits — ONE atomic transaction per wave (root-pointer swap):
+        # stage() writes data files (their footer stats feed the metrics
+        # below, no counting jobs), txn.commit() publishes all manifests and
+        # renames the root — a crash mid-wave leaves the previous wave's
+        # state for every table at once, never seen-without-queued.
+        txn = self.store.transaction()
+        log_man = txn.stage(
             fetch_log.drop("url_hash"), "fetch_log", mode="append",
             partition_by=["status"], meta={"wave": wave},
         )
@@ -436,18 +443,15 @@ class CrawlEngine:
         fetched = sum(f.get("rows", 0) for f in new_log if f["partition"].get("status") == "200")
         errors = sum(f.get("rows", 0) for f in new_log if f["partition"].get("status") != "200")
         next_seq = seq_offset + fetched + errors
-        # stamp next_seq into the manifest chain via the queued commit below
-        seen_man = self.store.commit(
+        seen_man = txn.stage(
             new.select("url_hash", "url", "host_bucket", "discovered_seq"),
             "seen", mode="append", partition_by=["host_bucket"],
             meta={"wave": wave},
         )
-        # urls_new from the commit's own file stats — no count job
+        # urls_new from the staged file stats — no count job
         urls_new = sum(
             f.get("rows", 0) for f in seen_man["files"][-seen_man["new_files"]:]
         ) if seen_man["new_files"] else 0
-        if urls_new > 0:
-            self._update_blooms(new)
         survivors = queued.join(sel.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         survivors = survivors.join(
             excluded.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
@@ -456,7 +460,7 @@ class CrawlEngine:
             "url", "url_hash", "host", "host_bucket", "source", "priority",
             "discovered_seq", "wave_discovered",
         ).unionByName(new)
-        queued_man = self.store.commit(
+        queued_man = txn.stage(
             next_queued, "queued", mode="overwrite", partition_by=["host_bucket"],
             meta={"wave": wave, "next_seq": next_seq},
         )
@@ -465,9 +469,9 @@ class CrawlEngine:
         next_rows = sum(f.get("rows", 0) for f in queued_man["files"])
         n_excluded = urls_in - (fetched + errors) - (next_rows - urls_new)
         if n_excluded > 0:
-            self.store.commit(excluded, "excluded", mode="append", meta={"wave": wave})
+            txn.stage(excluded, "excluded", mode="append", meta={"wave": wave})
         stats = WaveStats(wave, urls_in, urls_new, fetched, errors)
-        self.store.commit_pylist(
+        txn.stage_pylist(
             [
                 {
                     "wave": wave, "urls_in": urls_in, "urls_new": urls_new,
@@ -479,6 +483,11 @@ class CrawlEngine:
             mode="append",
             meta={"wave": wave},
         )
+        txn.commit(meta={"wave": wave, "next_seq": next_seq})
+        if urls_new > 0:
+            # bloom sidecar updates OUTSIDE the txn: it is self-healing (a
+            # stale sidecar is detected by row count and rebuilt from seen)
+            self._update_blooms(new)
         # amortized maintenance: keep append-heavy tables' file counts bounded
         if self.store.file_count("seen") > self.compact_files:
             self.store.compact(spark, "seen", partition_by=["host_bucket"])

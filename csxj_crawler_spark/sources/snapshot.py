@@ -66,6 +66,12 @@ class SnapshotStore:
         )
 
     def current_version(self, table: str) -> int | None:
+        """Latest COMMITTED version.  When a root pointer exists it is
+        authoritative for the tables it tracks — manifest files beyond it
+        belong to in-flight/crashed transactions and are invisible."""
+        root = self._root_current()
+        if root is not None and table in root["tables"]:
+            return root["tables"][table]
         vs = self.versions(table)
         return vs[-1] if vs else None
 
@@ -76,6 +82,55 @@ class SnapshotStore:
             return None
         with open(os.path.join(self._snap_dir(table), f"v{version}.json")) as f:
             return json.load(f)
+
+    # -- root pointer (catalog-level atomic multi-table commits) -------------
+    def _root_dir(self) -> str:
+        return os.path.join(self.root, "_root")
+
+    def _root_current(self) -> dict | None:
+        d = self._root_dir()
+        if not os.path.isdir(d):
+            return None
+        vs = sorted(
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := re.fullmatch(r"v(\d+)\.json", f))
+        )
+        if not vs:
+            return None
+        with open(os.path.join(d, f"v{vs[-1]}.json")) as f:
+            return json.load(f)
+
+    def _write_root(self, tables: dict[str, int], meta: dict | None) -> dict:
+        """Atomically swap the root pointer (the Iceberg catalog swap): a
+        manifest version is INVISIBLE until a root version references it."""
+        prev = self._root_current()
+        version = 0 if prev is None else prev["version"] + 1
+        merged = dict(prev["tables"]) if prev else {}
+        merged.update(tables)
+        root = {"version": version, "tables": merged, "meta": meta or {}}
+        os.makedirs(self._root_dir(), exist_ok=True)
+        tmp = os.path.join(self._root_dir(), f".v{version}.json.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(root, f)
+        os.rename(tmp, os.path.join(self._root_dir(), f"v{version}.json"))
+        return root
+
+    def list_tables(self) -> list[str]:
+        """Tables present in this store (directories with a _snapshots/)."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if not d.startswith("_")
+            and os.path.isdir(os.path.join(self.root, d, "_snapshots"))
+        )
+
+    def transaction(self) -> "Transaction":
+        """Begin a multi-table atomic commit: ``stage`` each table (data
+        files land immediately, stats become readable), then ``commit()``
+        publishes every manifest and swaps the root pointer in ONE atomic
+        rename — a crash anywhere before that leaves the previous state."""
+        return Transaction(self)
 
     # -- commit -------------------------------------------------------------
     def commit(
@@ -91,6 +146,31 @@ class SnapshotStore:
         ``mode='append'`` keeps the parent's files; ``'overwrite'`` starts the
         file list fresh (old files stay on disk for time travel).
         """
+        man = self._stage_df(df, table, mode, partition_by, meta)
+        self._publish(man)
+        if self._root_current() is not None:
+            self._write_root({table: man["version"]}, None)
+        return man
+
+    def _publish(self, man: dict) -> None:
+        snap_dir = self._snap_dir(man["table"])
+        os.makedirs(snap_dir, exist_ok=True)
+        tmp = os.path.join(
+            snap_dir, f".v{man['version']}.json.{man['commit']}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.rename(tmp, os.path.join(snap_dir, f"v{man['version']}.json"))
+
+    def _stage_df(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Write data files and build (but do not publish) the manifest."""
         commit_id = uuid.uuid4().hex[:12]
         tmp_dir = os.path.join(self._tdir(table), ".tmp", commit_id)
         data_dir = os.path.join(self._tdir(table), "data")
@@ -144,12 +224,6 @@ class SnapshotStore:
             "new_files": len(files),
             "meta": meta or {},
         }
-        snap_dir = self._snap_dir(table)
-        os.makedirs(snap_dir, exist_ok=True)
-        tmp = os.path.join(snap_dir, f".v{version}.json.{commit_id}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))  # atomic
         return man
 
     def commit_pylist(
@@ -163,6 +237,20 @@ class SnapshotStore:
         """Commit a tiny driver-side table (e.g. one wave-metrics row) as a
         parquet file written directly with pyarrow — zero Spark jobs.  Same
         manifest semantics as :meth:`commit`."""
+        man = self._stage_rows(rows, schema, table, mode, meta)
+        self._publish(man)
+        if self._root_current() is not None:
+            self._write_root({table: man["version"]}, None)
+        return man
+
+    def _stage_rows(
+        self,
+        rows: list[dict],
+        schema: "pa.Schema",
+        table: str,
+        mode: str = "append",
+        meta: dict | None = None,
+    ) -> dict:
         commit_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self._tdir(table), "data")
         os.makedirs(data_dir, exist_ok=True)
@@ -174,7 +262,7 @@ class SnapshotStore:
         live = list(prev["files"]) if (prev and mode == "append") else []
         live.append({"path": dest, "partition": {}, "rows": len(rows)})
         version = 0 if parent is None else parent + 1
-        man = {
+        return {
             "table": table,
             "version": version,
             "parent": parent,
@@ -184,13 +272,6 @@ class SnapshotStore:
             "new_files": 1,
             "meta": meta or {},
         }
-        snap_dir = self._snap_dir(table)
-        os.makedirs(snap_dir, exist_ok=True)
-        tmp = os.path.join(snap_dir, f".v{version}.json.{commit_id}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))
-        return man
 
     def partition_rows(
         self, table: str, key: str, version: int | None = None
@@ -299,6 +380,26 @@ class SnapshotStore:
             "num_files int, new_files int, meta_json string",
         )
 
+    def root_df(self, spark: SparkSession) -> DataFrame:
+        """Root-pointer history as a DataFrame (catalog lineage)."""
+        rows = []
+        d = self._root_dir()
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if re.fullmatch(r"v(\d+)\.json", f):
+                    with open(os.path.join(d, f)) as fh:
+                        r = json.load(fh)
+                    rows.append(
+                        {
+                            "version": r["version"],
+                            "tables_json": json.dumps(r["tables"], sort_keys=True),
+                            "meta_json": json.dumps(r["meta"], sort_keys=True),
+                        }
+                    )
+        return spark.createDataFrame(
+            rows, schema="version int, tables_json string, meta_json string"
+        )
+
     def files_df(self, spark: SparkSession, table: str) -> DataFrame:
         man = self.manifest(table) or {"files": []}
         rows = [
@@ -308,3 +409,63 @@ class SnapshotStore:
         return spark.createDataFrame(
             rows, schema="path string, partition_json string"
         )
+
+
+class Transaction:
+    """Atomic multi-table commit (Iceberg catalog-swap pattern).
+
+    ``stage*`` calls write data files immediately — their manifest dicts
+    (with per-file row stats) are returned so the caller can derive metrics
+    BEFORE publishing — but nothing is visible to readers until
+    :meth:`commit` publishes every staged manifest and renames a new root
+    pointer version in one atomic ``os.rename``.  A crash at any earlier
+    point leaves readers on the previous root: either the whole wave
+    happened or none of it did (closes the seen-committed/queued-not window
+    of sequential per-table commits)."""
+
+    def __init__(self, store: SnapshotStore):
+        self.store = store
+        self._staged: list[dict] = []
+
+    def stage(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        man = self.store._stage_df(df, table, mode, partition_by, meta)
+        # later stages of OTHER tables must not see this one; same-table
+        # restaging inside one txn is unsupported
+        assert all(m["table"] != table for m in self._staged), table
+        self._staged.append(man)
+        return man
+
+    def stage_pylist(
+        self,
+        rows: list[dict],
+        schema,
+        table: str,
+        mode: str = "append",
+        meta: dict | None = None,
+    ) -> dict:
+        man = self.store._stage_rows(rows, schema, table, mode, meta)
+        assert all(m["table"] != table for m in self._staged), table
+        self._staged.append(man)
+        return man
+
+    def commit(self, meta: dict | None = None) -> dict:
+        tables = {m["table"]: m["version"] for m in self._staged}
+        if not tables:
+            # empty txn = pin the current committed version of every table
+            # (root bootstrap): afterwards the root is authoritative for all
+            for t in self.store.list_tables():
+                v = self.store.current_version(t)
+                if v is not None:
+                    tables[t] = v
+        for man in self._staged:
+            self.store._publish(man)
+        root = self.store._write_root(tables, meta)
+        self._staged = []
+        return root

@@ -83,3 +83,48 @@ def test_metadata_tables(spark, store):
     assert '"wave": 1' in snaps[1].meta_json
     files = store.files_df(spark, "t")
     assert files.count() == len(store.manifest("t")["files"])
+
+
+def test_transaction_atomic_visibility(spark, store):
+    """Staged tables are invisible until the root swap; then both appear."""
+    store.commit(_df(spark, 0, 10), "a", mode="overwrite", partition_by=["host_bucket"])
+    store.commit(_df(spark, 0, 5), "b", mode="overwrite", partition_by=["host_bucket"])
+    txn = store.transaction()
+    txn.stage(_df(spark, 10, 30), "a", mode="append", partition_by=["host_bucket"])
+    txn.stage(_df(spark, 5, 6), "b", mode="append", partition_by=["host_bucket"])
+    # mid-transaction: readers see the PRE-txn state of both tables
+    assert store.read(spark, "a").count() == 10
+    assert store.read(spark, "b").count() == 5
+    txn.commit(meta={"wave": 9})
+    assert store.read(spark, "a").count() == 30
+    assert store.read(spark, "b").count() == 6
+    root = store._root_current()
+    assert root["meta"] == {"wave": 9}
+
+
+def test_crashed_transaction_invisible_and_recoverable(spark, store):
+    """Publish manifests but 'crash' before the root swap: readers stay on
+    the old root; the next transaction overwrites the stale versions."""
+    store.commit(_df(spark, 0, 10), "a", mode="overwrite", partition_by=["host_bucket"])
+    store.commit(_df(spark, 0, 5), "b", mode="overwrite", partition_by=["host_bucket"])
+    store.transaction().commit()  # establish a root at current versions
+    crash = store.transaction()
+    m1 = crash.stage(_df(spark, 10, 30), "a", mode="append", partition_by=["host_bucket"])
+    store._publish(m1)  # simulate crash: one manifest published, NO root swap
+    assert store.read(spark, "a").count() == 10  # root still authoritative
+    assert store.row_count("a") == 10
+    # recovery: a fresh transaction recomputes the same version and wins
+    txn = store.transaction()
+    txn.stage(_df(spark, 10, 12), "a", mode="append", partition_by=["host_bucket"])
+    txn.commit()
+    assert store.read(spark, "a").count() == 12
+
+
+def test_single_commit_advances_root_when_present(spark, store):
+    store.commit(_df(spark, 0, 4), "a", mode="overwrite", partition_by=["host_bucket"])
+    store.transaction().commit()
+    v0 = store._root_current()["version"]
+    store.commit(_df(spark, 4, 6), "a", mode="append", partition_by=["host_bucket"])
+    root = store._root_current()
+    assert root["version"] == v0 + 1
+    assert store.read(spark, "a").count() == 6
