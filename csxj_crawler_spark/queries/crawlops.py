@@ -237,9 +237,39 @@ def _sql_link_tags() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# S6/S7 — snapshot lineage metadata tables (Iceberg-style #snapshots + root)
+# --------------------------------------------------------------------------
+def q_crawl_lineage(spark, sf_dir):
+    """Per-table snapshot counts + modes from the crawl store's metadata
+    tables, plus the root-pointer history length — the lineage a judge (or
+    an operator) reads to audit which wave committed what.  Rows-only check:
+    commit ids are random, but the SHAPE of the lineage is deterministic."""
+    eng = _engine(spark)
+    rows = []
+    for t in eng.store.list_tables():
+        snaps = [eng.store.manifest(t, v) for v in eng.store.versions(t)]
+        rows.append(
+            (
+                t,
+                len(snaps),
+                sum(1 for m in snaps if m and m["mode"] == "append"),
+                sum(1 for m in snaps if m and m["mode"] == "overwrite"),
+                int(eng.store.row_count(t) or 0),
+            )
+        )
+    root = eng.store._root_current()
+    rows.append(("_root", (root["version"] + 1) if root else 0, 0, 0, 0))
+    return spark.createDataFrame(
+        rows,
+        "table string, n_snapshots int, n_appends int, n_overwrites int, live_rows long",
+    ).orderBy("table")
+
+
 def QUERIES() -> dict[str, tuple]:
     """Callable (not a constant) because oracle VALUES need the fixture."""
     return {
+        "crawl_lineage": (q_crawl_lineage, None),
         "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
         "url_canonicalize_arrow": (q_url_canonicalize_arrow, _sql_url_canonicalize()),
         "crawl_wave0_frontier": (q_crawl_wave0_frontier, _sql_wave0()),
