@@ -59,12 +59,17 @@ def bloom_build_bits(
     hashes: np.ndarray,
     bits_per_key: int = spec.BLOOM_BITS_PER_KEY,
     k: int = spec.BLOOM_NUM_HASHES,
+    min_m: int = 64,
 ) -> tuple[np.ndarray, int]:
+    """``min_m`` lets a DELTA filter be built at the size of the filter it
+    will be OR-merged into: merging then never tiles a dense small array
+    across the big one (which would saturate the merged filter after a few
+    waves — the delta's bits stay sparse at the full m)."""
     n = len(hashes)
     # power-of-two m: any smaller filter tiles exactly into a larger one,
     # which makes merge_blooms' widening sound (bm | m ⇒ tiling preserves
     # membership: h mod bm == (h mod m) mod bm)
-    m = 64
+    m = max(64, int(min_m))
     while m < n * bits_per_key:
         m *= 2
     words = np.zeros(m // 64, dtype=np.uint64)
@@ -89,12 +94,22 @@ def bloom_probe_bits(
     return hit.all(axis=1)
 
 
-def build_blooms(seen: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-    """D2: per-host_bucket bloom blobs from the seen table."""
+def build_blooms(
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    min_m_by_bucket: dict[int, int] | None = None,
+) -> DataFrame:
+    """D2: per-host_bucket bloom blobs from the seen table.
+
+    ``min_m_by_bucket`` (bucket → bit count) sizes each bucket's filter to at
+    least the existing merged filter's m, so a subsequent OR-merge is a plain
+    equal-width OR (see :func:`bloom_build_bits`)."""
+    mins = min_m_by_bucket or {}
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf[hash_col].to_numpy()
-        words, m = bloom_build_bits(hashes)
+        bucket = int(pdf["host_bucket"].iloc[0])
+        words, m = bloom_build_bits(hashes, min_m=mins.get(bucket, 64))
         return pd.DataFrame(
             {
                 "host_bucket": [int(pdf["host_bucket"].iloc[0])],

@@ -75,6 +75,7 @@ class CrawlEngine:
         use_pandas_canon: bool = False,
         use_bloom: bool = True,
         salt: int = spec.DEFAULT_SALT,
+        bloom_min_seen: int = spec.BLOOM_MIN_SEEN,
     ):
         self.spark = spark
         self.store = store
@@ -84,6 +85,12 @@ class CrawlEngine:
         #: bloom-backed seen set (D2-D4): per-bucket blobs prefilter
         #: discoveries so the exact anti-join only sees 'maybe seen' rows
         self.use_bloom = use_bloom
+        #: below this many seen rows the bloom sidecar is pure overhead (the
+        #: exact anti-join broadcasts the small seen side anyway; measured
+        #: ~25% slower bloom-ON at bench scale) — auto-disable under it.
+        #: The golden parity tests pin bloom_min_seen=0 to force the bloom
+        #: path, so both strategies stay exact-verified.
+        self.bloom_min_seen = bloom_min_seen
         #: salt cardinality for the two-level skew-safe politeness window
         self.salt = salt
         #: compact seen/fetch_log when their manifests exceed this many files
@@ -131,51 +138,107 @@ class CrawlEngine:
                 return disc
             return disc.join(seen.select(*keys), keys, "left_anti")
         # narrow probe: ship only (bucket, hash) through Arrow, get back the
-        # FP-rate-sized maybe-set; cache it — it feeds two broadcast builds
+        # FP-rate-sized maybe-set; broadcast it straight against the seen
+        # scan — folding the old intermediate pass over disc (one fewer
+        # broadcast build per wave).  matches = seen rows whose (bucket,
+        # hash) is in the maybe-set: a superset of the true matches only by
+        # hash collisions, still FP-rate sized, and the (hash, url) anti-
+        # join below keeps exactness either way.
         maybe_h = M.bloom_probe_maybe(disc, blooms).cache()
         self._wave_caches.append(maybe_h)
-        maybe_keys = disc.join(
+        seen = self.store.read(self.spark, "seen")
+        matches = seen.join(
             F.broadcast(maybe_h), ["host_bucket", "url_hash"], "left_semi"
         ).select(*keys)
-        seen = self.store.read(self.spark, "seen").select(*keys)
-        matches = seen.join(F.broadcast(maybe_keys), keys, "left_semi")
         # anti-join against the tiny true-match set: definite-new rows pass
         # straight through (they cannot be in matches)
         return disc.join(F.broadcast(matches), keys, "left_anti")
 
-    def _blooms(self) -> DataFrame | None:
-        """Current bloom blobs, or None when absent/stale (then rebuilt).
+    def _seen_stamp(self) -> dict:
+        """Identity of the current seen snapshot for bloom validity: content
+        id (stable across compactions, changed by any append/overwrite) plus
+        the row count.  Row count alone would accept a same-sized REWRITE of
+        seen with different contents — a false-negative hole."""
+        man = self.store.manifest("seen")
+        return {
+            "seen_rows": self.store.row_count("seen") or 0,
+            "seen_content": None if man is None else man.get("content_id"),
+        }
 
-        Validity invariant: a bloom commit tagged ``seen_rows = n`` covers
-        the first n rows of the append-only seen table; equal row counts ⇒
-        superset of seen ⇒ no false negatives (compaction preserves rows)."""
-        man = self.store.manifest("blooms")
+    def _blooms(self) -> DataFrame | None:
+        """Current bloom blobs, or None when absent/stale/below-threshold.
+
+        Validity invariant: a bloom commit is stamped with the seen
+        snapshot's (content_id, row count); both matching ⇒ the blobs cover
+        exactly the live seen rows ⇒ no false negatives (compaction
+        preserves content_id, so it does not invalidate)."""
         seen_rows = self.store.row_count("seen") or 0
-        if man is not None and man["meta"].get("seen_rows") == seen_rows:
+        if seen_rows < self.bloom_min_seen:
+            return None
+        stamp = self._seen_stamp()
+        man = self.store.manifest("blooms")
+        if man is not None and all(
+            man["meta"].get(k) == v for k, v in stamp.items()
+        ):
             return self.store.read(self.spark, "blooms")
         seen = self.store.read(self.spark, "seen")
         if seen is None:
             return None
-        blooms = M.build_blooms(seen)
         self.store.commit(
-            blooms, "blooms", mode="overwrite", meta={"seen_rows": seen_rows}
+            M.build_blooms(seen), "blooms", mode="overwrite", meta=stamp
         )
         return self.store.read(self.spark, "blooms")
 
     def _update_blooms(self, new: DataFrame) -> None:
-        """OR-merge the just-committed discoveries into the per-bucket blobs
-        (D4) and stamp the covered seen row count."""
+        """Fold the just-committed discoveries into the per-bucket blobs (D4)
+        and stamp the covered seen snapshot.
+
+        Delta filters are built AT THE MERGED FILTER'S m per bucket, so the
+        merge is a plain equal-width OR — never tiling a dense delta-sized
+        array across the whole filter (which saturates bit density toward 1
+        after a few waves).  When a bucket's key count would overflow its
+        current m (n·bits_per_key > m), the whole sidecar is rebuilt from
+        seen at the right size — amortized-doubling cost, like compaction."""
         if not self.use_bloom:
             return
         seen_rows = self.store.row_count("seen") or 0
-        delta = M.build_blooms(new)
+        if seen_rows < self.bloom_min_seen:
+            return
+        stamp = self._seen_stamp()
         prev = self.store.read(self.spark, "blooms")
-        merged = delta if prev is None else M.merge_blooms(
-            delta.unionByName(prev.select(*delta.columns))
+        if prev is None:
+            # first crossing of the threshold: size to the full seen set
+            self.store.commit(
+                M.build_blooms(self.store.read(self.spark, "seen")),
+                "blooms", mode="overwrite", meta=stamp,
+            )
+            return
+        # tiny driver-side metadata reads: (bucket, n, m) without blobs, and
+        # per-bucket delta counts of the wave-sized `new`
+        prev_nm = {
+            r["host_bucket"]: (int(r["n"]), int(r["m"]))
+            for r in prev.select("host_bucket", "n", "m").collect()
+        }
+        delta_n = {
+            r["host_bucket"]: int(r["cnt"])
+            for r in new.groupBy("host_bucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        overflow = any(
+            b in prev_nm
+            and (prev_nm[b][0] + c) * spec.BLOOM_BITS_PER_KEY > prev_nm[b][1]
+            for b, c in delta_n.items()
         )
-        self.store.commit(
-            merged, "blooms", mode="overwrite", meta={"seen_rows": seen_rows}
+        if overflow:
+            self.store.commit(
+                M.build_blooms(self.store.read(self.spark, "seen")),
+                "blooms", mode="overwrite", meta=stamp,
+            )
+            return
+        delta = M.build_blooms(
+            new, min_m_by_bucket={b: m for b, (_n, m) in prev_nm.items()}
         )
+        merged = M.merge_blooms(delta.unionByName(prev.select(*delta.columns)))
+        self.store.commit(merged, "blooms", mode="overwrite", meta=stamp)
 
     # -- bootstrap (wave-0 frontier from the shared seed list) ---------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -281,6 +344,39 @@ class CrawlEngine:
         self._wave_caches = []
         return n_new
 
+    # -- politeness selection (W1/J4) ----------------------------------------
+    def _politeness_rank(self, candidates: DataFrame) -> DataFrame:
+        """W1: per-host politeness-aware selection — top-c by (prio, seq).
+
+        Two-level salted top-k (J4 skew handling): a hot host with 10^8
+        queued rows would otherwise sort in ONE window task.  Stage 1 takes
+        top-c per (host, salt) — S parallel tasks per hot host — stage 2
+        ranks the surviving ≤ c*S rows per host.  top-c(host) ⊆
+        ∪_salt top-c(host, salt), so the result is exact.  Requires a
+        ``crawl_delay`` column; adds ``host_rank`` (0-based within host).
+        Plan shape (two Window operators, (host, salt) then (host)) is
+        asserted in tests/test_plans.py::test_salted_window_two_level."""
+        budget_c = F.greatest(
+            F.lit(1),
+            F.floor(F.lit(spec.WAVE_SECONDS) / F.col("crawl_delay")).cast("int"),
+        )
+        order = (F.desc("priority"), F.asc("discovered_seq"))
+        if self.salt > 1:
+            per_salt = Window.partitionBy("host", "salt").orderBy(*order)
+            candidates = (
+                candidates.withColumn(
+                    "salt", F.pmod(F.xxhash64("url"), F.lit(self.salt)).cast("int")
+                )
+                .withColumn("salt_rank", F.row_number().over(per_salt))
+                .filter(F.col("salt_rank") <= budget_c)
+                .drop("salt", "salt_rank")
+            )
+        per_host = Window.partitionBy("host").orderBy(*order)
+        return (
+            candidates.withColumn("host_rank", F.row_number().over(per_host) - 1)
+            .filter(F.col("host_rank") < budget_c)
+        )
+
     # -- one wave -------------------------------------------------------------
     def step(
         self, wave: int, seq_offset: int, graph: DataFrame, robots: DataFrame
@@ -315,32 +411,7 @@ class CrawlEngine:
         excluded = q.filter("is_excluded").select("url", "url_hash", "host", "host_bucket")
         candidates = q.filter(~F.col("is_excluded"))
 
-        # W1: per-host politeness-aware selection — top-c by (prio, seq).
-        # Two-level salted top-k (J4 skew handling): a hot host with 10^8
-        # queued rows would otherwise sort in ONE window task.  Stage 1 takes
-        # top-c per (host, salt) — S parallel tasks per hot host — stage 2
-        # ranks the surviving ≤ c*S rows per host.  top-c(host) ⊆
-        # ∪_salt top-c(host, salt), so the result is exact.
-        budget_c = F.greatest(
-            F.lit(1),
-            F.floor(F.lit(spec.WAVE_SECONDS) / F.col("crawl_delay")).cast("int"),
-        )
-        order = (F.desc("priority"), F.asc("discovered_seq"))
-        if self.salt > 1:
-            per_salt = Window.partitionBy("host", "salt").orderBy(*order)
-            candidates = (
-                candidates.withColumn(
-                    "salt", F.pmod(F.xxhash64("url"), F.lit(self.salt)).cast("int")
-                )
-                .withColumn("salt_rank", F.row_number().over(per_salt))
-                .filter(F.col("salt_rank") <= budget_c)
-                .drop("salt", "salt_rank")
-            )
-        per_host = Window.partitionBy("host").orderBy(*order)
-        sel = (
-            candidates.withColumn("host_rank", F.row_number().over(per_host) - 1)
-            .filter(F.col("host_rank") < budget_c)
-        )
+        sel = self._politeness_rank(candidates)
 
         # W2: global wave order (source_idx, discovered_seq), cap, seq assign.
         # Single-partition window — but only over ≤ wave_budget candidate rows
@@ -365,9 +436,25 @@ class CrawlEngine:
         )
 
         # J2 fetch: broadcast the small selection, stream the huge graph once;
-        # hits is wave-sized — cache it so fetch_log AND discovery reuse it
+        # hits is wave-sized — cache it so fetch_log AND discovery reuse it.
+        # The graph contract is one row per canonical url; a duplicate row
+        # would inflate fetch_log (and the manifest-stat metrics arithmetic
+        # below assumes |fetch_log| == |sel|), so guard with a deterministic
+        # keep-first on the WAVE-SIZED join output — an extra narrow stage
+        # inside an existing job, never a shuffle of the huge graph.
         g = graph.select("url", "outlinks", "status", "image_id")
-        hits = g.join(F.broadcast(sel), "url", "inner").cache()
+        wdup = Window.partitionBy("url").orderBy(
+            F.desc("status"),
+            F.asc_nulls_last("image_id"),
+            F.asc(F.xxhash64(F.to_json(F.struct("outlinks")))),
+        )
+        hits = (
+            g.join(F.broadcast(sel), "url", "inner")
+            .withColumn("_dup_rn", F.row_number().over(wdup))
+            .filter(F.col("_dup_rn") == 1)
+            .drop("_dup_rn")
+            .cache()
+        )
         miss = sel.join(
             F.broadcast(hits.select("url")), "url", "left_anti"
         ).select(

@@ -13,6 +13,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver memory sized to the HOST, not a hardcoded 24g: on a
+    small machine a 24g -Xmx either fails JVM startup or invites the OOM
+    killer.  min(24g, 70% of MemAvailable), floor 8g (below that, high-core
+    local runs serialize in GC); SPARK_GRAFT_DRIVER_MEM always wins."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(8, min(24, int(avail_gb * 0.7)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app: str = "csxj-crawler-spark",
     master: str | None = None,
@@ -37,7 +56,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode note: driver memory IS the whole JVM (executors
         # included); too small a heap serializes high-core runs in GC
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

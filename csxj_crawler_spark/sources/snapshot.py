@@ -220,11 +220,28 @@ class SnapshotStore:
             "parent": parent,
             "commit": commit_id,
             "mode": mode,
+            "content_id": self._content_id(prev, mode, meta, commit_id),
             "files": live,
             "new_files": len(files),
             "meta": meta or {},
         }
         return man
+
+    @staticmethod
+    def _content_id(prev: dict | None, mode: str, meta: dict | None, commit_id: str) -> str:
+        """Logical-content identity of a snapshot: changes on any append or
+        overwrite, but a COMPACTION (rewrite of the same rows) inherits its
+        parent's id.  Consumers that derive sidecar structures from a table
+        (the crawl engine's bloom blobs) stamp this id: compaction keeps
+        them valid, any content change invalidates them."""
+        if (
+            mode == "overwrite"
+            and (meta or {}).get("compaction")
+            and prev is not None
+            and prev.get("content_id")
+        ):
+            return prev["content_id"]
+        return commit_id
 
     def commit_pylist(
         self,
@@ -268,6 +285,7 @@ class SnapshotStore:
             "parent": parent,
             "commit": commit_id,
             "mode": mode,
+            "content_id": self._content_id(prev, mode, meta, commit_id),
             "files": live,
             "new_files": 1,
             "meta": meta or {},
@@ -435,10 +453,12 @@ class Transaction:
         partition_by: list[str] | None = None,
         meta: dict | None = None,
     ) -> dict:
+        # same-table restaging inside one txn is unsupported — reject BEFORE
+        # any data files are written (an after-the-fact assert would leave
+        # orphan files and, under python -O, silently lose the first stage)
+        if any(m["table"] == table for m in self._staged):
+            raise ValueError(f"table {table!r} already staged in this transaction")
         man = self.store._stage_df(df, table, mode, partition_by, meta)
-        # later stages of OTHER tables must not see this one; same-table
-        # restaging inside one txn is unsupported
-        assert all(m["table"] != table for m in self._staged), table
         self._staged.append(man)
         return man
 
@@ -450,8 +470,9 @@ class Transaction:
         mode: str = "append",
         meta: dict | None = None,
     ) -> dict:
+        if any(m["table"] == table for m in self._staged):
+            raise ValueError(f"table {table!r} already staged in this transaction")
         man = self.store._stage_rows(rows, schema, table, mode, meta)
-        assert all(m["table"] != table for m in self._staged), table
         self._staged.append(man)
         return man
 

@@ -86,6 +86,13 @@ PHASH_HAMMING_T: int = 6
 BLOOM_BITS_PER_KEY: int = 10
 BLOOM_NUM_HASHES: int = 7
 
+#: seen-row threshold below which the bloom prefilter is auto-disabled —
+#: under it the exact anti-join broadcasts the small seen side anyway and
+#: the per-wave bloom build/merge/probe jobs are pure overhead (measured
+#: ~25% slower at 60k-page bench scale).  The 10^10 design regime is far
+#: above this.
+BLOOM_MIN_SEEN: int = 500_000
+
 
 def per_wave_budget(crawl_delay: float) -> int:
     """Max fetches of one host inside one wave given its crawl_delay.

@@ -19,7 +19,9 @@ def golden(fix_dir):
 @pytest.fixture(scope="module")
 def engine_run(spark, fix_dir, tmp_path_factory):
     store = SnapshotStore(str(tmp_path_factory.mktemp("crawl_store")))
-    eng = CrawlEngine(spark, store, n_buckets=8)
+    # bloom_min_seen=0 forces the bloom prefilter path even on the tiny
+    # fixture (the production default auto-disables it below 500k seen rows)
+    eng = CrawlEngine(spark, store, n_buckets=8, bloom_min_seen=0)
     seeds = spark.read.parquet(f"{fix_dir}/seeds.parquet")
     graph = spark.read.parquet(f"{fix_dir}/web_graph.parquet")
     robots = spark.read.parquet(f"{fix_dir}/robots.parquet")

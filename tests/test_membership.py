@@ -108,6 +108,30 @@ def test_spark_bloom_merge(spark, seen_df):
         assert M.bloom_probe_bits(bucket_keys, words, int(r.m), int(r.k)).all()
 
 
+def test_sized_delta_merge_does_not_saturate():
+    """Wave-style incremental merging must keep bit density bounded: deltas
+    built at the merged filter's m (min_m) OR in sparsely, instead of a
+    delta-sized dense array tiled across the whole filter (which drives
+    density → 1 and the FP rate with it after a handful of waves)."""
+    base = np.arange(0, 60_000, dtype=np.int64)
+    words, m = M.bloom_build_bits(base)
+    tiled = words.copy()  # the OLD scheme: delta at its own m, tiled up
+    for wave in range(1, 20):
+        delta = np.arange(wave * 1000, wave * 1000 + 500, dtype=np.int64) * 7 + 10**9
+        dwords, dm = M.bloom_build_bits(delta, min_m=m)
+        assert dm == m  # sized delta: plain equal-width OR
+        words |= dwords
+        small, sm = M.bloom_build_bits(delta)
+        tiled |= np.tile(small, m // sm)
+    density = np.unpackbits(words.view(np.uint8)).mean()
+    tiled_density = np.unpackbits(tiled.view(np.uint8)).mean()
+    # ~70k keys at 10 bits/key in a pow2-rounded m ⇒ density well under 0.5;
+    # the tiling scheme saturates (dense delta arrays repeated across m)
+    assert density < 0.5, density
+    assert tiled_density > 2 * density, (tiled_density, density)
+    assert M.bloom_probe_bits(base, words, m, 7).all()
+
+
 def test_probe_empty_bloom_marks_all_new(spark):
     cand = spark.createDataFrame([(0, 1), (1, 2)], "host_bucket int, url_hash long")
     blooms = M.build_blooms(

@@ -82,7 +82,7 @@ def test_crawl_dedup_plan_broadcasts_not_seen(spark, fix_dir, tmp_path_factory):
     from csxj_crawler_spark.sources.snapshot import SnapshotStore
 
     store = SnapshotStore(str(tmp_path_factory.mktemp("planstore")))
-    eng = CrawlEngine(spark, store, n_buckets=8)
+    eng = CrawlEngine(spark, store, n_buckets=8, bloom_min_seen=0)
     seeds = spark.read.parquet(f"{fix_dir}/seeds.parquet")
     eng.bootstrap(seeds)
     disc = eng._frontier_cols(
@@ -101,21 +101,31 @@ def test_crawl_dedup_plan_broadcasts_not_seen(spark, fix_dir, tmp_path_factory):
         c.unpersist()
 
 
-def test_salted_window_two_level(spark, fix_dir, tmp_path_factory):
-    """Selection plan contains BOTH window levels (salt fan-out then host)."""
+def test_salted_window_two_level(spark, tmp_path_factory):
+    """The politeness selection plan contains BOTH window levels: a salt
+    fan-out window keyed (host, salt) feeding a final window keyed (host)
+    only — the J4 skew-safe two-level top-k, asserted on the actual plan."""
+    import re
+
     from csxj_crawler_spark.plans.crawl import CrawlEngine
     from csxj_crawler_spark.sources.snapshot import SnapshotStore
 
     store = SnapshotStore(str(tmp_path_factory.mktemp("saltstore")))
     eng = CrawlEngine(spark, store, n_buckets=8, salt=4)
-    seeds = spark.read.parquet(f"{fix_dir}/seeds.parquet")
-    graph = spark.read.parquet(f"{fix_dir}/web_graph.parquet")
-    robots = spark.read.parquet(f"{fix_dir}/robots.parquet")
-    eng.run(seeds, graph, robots, max_waves=1)
-    # re-derive one wave's selection plan by stepping with explain capture:
-    # the two-level window shows as two Window operators over different keys
-    queued = store.read(spark, "queued")
-    assert queued is not None  # engine ran; plan structure asserted above
+    cand = spark.createDataFrame(
+        [("http://a.example/x", "a.example", "lesoir", 1.0, 0, 1.0)],
+        "url string, host string, source string, priority double, "
+        "discovered_seq long, crawl_delay double",
+    )
+    plan = _plan(eng._politeness_rank(cand))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    keyed = [s for s in specs if "host" in s]
+    assert any("salt" in s for s in keyed), f"no (host, salt) window in:\n{plan}"
+    assert any("salt" not in s for s in keyed), f"no host-only window in:\n{plan}"
+    # and the salt fan-out level runs BEFORE the host-only level
+    salt_pos = plan.rindex("salt")
+    host_only = [s for s in keyed if "salt" not in s][0]
+    assert plan.index(host_only) < salt_pos  # plans print top-down: final first
 
 
 def test_manifest_pruning_limits_input_files(spark, tmp_path_factory):

@@ -120,6 +120,36 @@ def test_crashed_transaction_invisible_and_recoverable(spark, store):
     assert store.read(spark, "a").count() == 12
 
 
+def test_restage_same_table_rejected_before_write(spark, store):
+    """Staging one table twice in a txn must fail BEFORE writing data files
+    (a post-write assert would orphan files and vanish under python -O)."""
+    txn = store.transaction()
+    txn.stage(_df(spark, 0, 5), "t", mode="overwrite", partition_by=["host_bucket"])
+    data_dir = os.path.join(store._tdir("t"), "data")
+    before = sum(len(fs) for _, _, fs in os.walk(data_dir))
+    with pytest.raises(ValueError, match="already staged"):
+        txn.stage(_df(spark, 5, 9), "t", mode="append", partition_by=["host_bucket"])
+    after = sum(len(fs) for _, _, fs in os.walk(data_dir))
+    assert after == before  # rejected stage wrote nothing
+    txn.commit()
+    assert store.read(spark, "t").count() == 5
+
+
+def test_content_id_tracks_content_not_layout(spark, store):
+    """content_id changes on append/overwrite but survives compaction —
+    the invariant sidecar consumers (bloom blobs) key their validity on."""
+    store.commit(_df(spark, 0, 10), "t", mode="overwrite", partition_by=["host_bucket"])
+    c0 = store.manifest("t")["content_id"]
+    store.commit(_df(spark, 10, 15), "t", mode="append", partition_by=["host_bucket"])
+    c1 = store.manifest("t")["content_id"]
+    assert c1 != c0  # append = new content
+    store.compact(spark, "t", partition_by=["host_bucket"])
+    c2 = store.manifest("t")["content_id"]
+    assert c2 == c1  # compaction rewrites layout, not content
+    store.commit(_df(spark, 0, 15), "t", mode="overwrite", partition_by=["host_bucket"])
+    assert store.manifest("t")["content_id"] != c2  # same size, new content
+
+
 def test_single_commit_advances_root_when_present(spark, store):
     store.commit(_df(spark, 0, 4), "a", mode="overwrite", partition_by=["host_bucket"])
     store.transaction().commit()
