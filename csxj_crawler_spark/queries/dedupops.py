@@ -56,22 +56,53 @@ def minhash_sig(texts: pd.Series) -> pd.Series:
 
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
+    """Whole-batch vectorized simhash: one hash_array over ALL tokens of the
+    Arrow batch, a single (tokens × 64) bit matrix, and per-document
+    segment sums via ``np.add.reduceat`` — no per-document Python loop.
+    A zero-length document contributes an empty segment (its start equals
+    the next document's start), so filtering to non-empty documents keeps
+    reduceat's consecutive-boundary semantics exact."""
+    toks_per_doc = [t.split() for t in texts.fillna("")]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        toks = t.split()
-        if not toks:
-            continue
-        h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if v[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig.astype(np.int64)
+    if lens.sum() == 0:
+        return pd.Series(out)
+    all_toks = np.asarray(
+        [tok for toks in toks_per_doc for tok in toks], dtype=object
+    )
+    h = pd.util.hash_array(all_toks).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    nonzero = lens > 0
+    starts = (np.cumsum(lens) - lens)[nonzero]
+    sums = np.add.reduceat(bits, starts, axis=0)
+    v = 2 * sums - lens[nonzero, None]
+    sig = ((v > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    out[nonzero] = sig.view(np.int64)
     return pd.Series(out)
+
+
+def minhash_band_keys(d: DataFrame) -> DataFrame:
+    """Narrow banding frame: ``(doc_id, band_key)`` ONLY.  The 64-long
+    signature array must NOT ride the band self-join — exploded ×8 bands on
+    both shuffle sides it multiplies shuffle volume ~16× over this minimal
+    frame at 100 TB.  Signatures are re-attached to the deduped pair set
+    afterwards (two equi-joins on doc_id)."""
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+            )
+        ).alias("band_id", "band_val"),
+    ).select(
+        "doc_id",
+        F.xxhash64(
+            F.col("band_id"),
+            F.concat_ws(",", F.transform("band_val", lambda x: x.cast("string"))),
+        ).alias("band_key"),
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
@@ -80,16 +111,7 @@ def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", minhash_sig(F.col("text")).alias("sig")
     )
-    bands = d.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-            )
-        ).alias("band_id", "band_val"),
-    ).withColumn("band_key", F.xxhash64(F.col("band_id"), F.concat_ws(",", F.transform("band_val", lambda x: x.cast("string")))))
+    bands = minhash_band_keys(d)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -97,13 +119,13 @@ def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = cand.join(
+        d.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        d.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

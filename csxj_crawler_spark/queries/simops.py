@@ -181,24 +181,34 @@ def q_sim_lsh_ann(spark, sf_dir):
     e = e.withColumn(
         "bands", F.array(*band_cols)
     )
+    # narrow banding frame: (vec_id, band_id, band_val) only — the 64-double
+    # embedding array must not ride the band self-join shuffle (see
+    # dedupops.minhash_band_keys for the same rule); vectors are re-attached
+    # to the deduped candidate pairs via two equi-joins
     bands = e.select(
-        "vec_id", "emb_d", F.posexplode("bands").alias("band_id", "band_val")
+        "vec_id", F.posexplode("bands").alias("band_id", "band_val")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.emb_d").alias("ea"),
-            F.col("b.emb_d").alias("eb"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = e.select("vec_id", "emb_d")
+    return (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("ea")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("eb")),
+            "vec_b",
+        )
         .withColumn(
             "raw_cos",
             _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),

@@ -52,6 +52,40 @@ def test_no_cartesian_in_band_self_joins(spark, fix_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _exchange_blocks(df) -> list[str]:
+    """Formatted-plan blocks for Exchange/BroadcastExchange nodes (each block
+    contains an ``Input [n]: [cols...]`` line naming what crosses the wire)."""
+    plan = _formatted(df)
+    return [
+        b
+        for b in plan.split("\n\n")
+        if b.strip().startswith("(") and "Exchange" in b.split("\n")[0]
+    ]
+
+
+def test_minhash_band_join_sheds_signatures(spark, sf_dir):
+    """No exchange that carries band keys may also carry the 64-long sig
+    array — signatures are re-attached after pair dedup (the ~16× shuffle-
+    volume rule for the 100 TB band self-join)."""
+    from csxj_crawler_spark.queries.dedupops import q_dedup_minhash_lsh
+
+    for b in _exchange_blocks(q_dedup_minhash_lsh(spark, sf_dir)):
+        input_line = next(l for l in b.split("\n") if l.startswith("Input"))
+        if "band_key" in input_line:
+            assert "sig" not in input_line, b
+
+
+def test_ann_band_join_sheds_embeddings(spark, sf_dir):
+    """Same rule for the hyperplane-LSH ANN: embedding arrays must not ride
+    the band self-join exchanges."""
+    from csxj_crawler_spark.queries.simops import q_sim_lsh_ann
+
+    for b in _exchange_blocks(q_sim_lsh_ann(spark, sf_dir)):
+        input_line = next(l for l in b.split("\n") if l.startswith("Input"))
+        if "band_id" in input_line or "band_val" in input_line:
+            assert "emb" not in input_line and "ea#" not in input_line, b
+
+
 def test_wholestage_codegen_on_agg_path(spark, sf_dir):
     from csxj_crawler_spark.queries.relational import q_agg_pricing_summary
 
