@@ -69,12 +69,25 @@ def main() -> None:
         "q10_minhash_lsh": dedupops.QUERIES["dedup_minhash_lsh"][0],
     }
 
+    from pyspark.sql import functions as F
+
+    def _force(df) -> int:
+        """Execute with EVERY produced column evaluated: ``count()`` lets
+        Catalyst prune unreferenced projections, so a projection-heavy query
+        would time as a bare scan.  A checksum agg over all columns keeps the
+        operators in the plan (xxhash64 takes any orderable type incl.
+        arrays/binary) and returns the row count."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+        ).collect()[0]
+        return int(row["n"] or 0)
+
     times: dict[str, float] = {}
     t_all = time.time()
     for name, fn in headline.items():
         t0 = time.time()
-        df = fn(spark, sf)
-        n = df.count()
+        _force(fn(spark, sf))
         times[name] = round(time.time() - t0, 3)
 
     # crawl-engine throughput (frontier URLs processed / sec) on a web with
@@ -105,8 +118,8 @@ def main() -> None:
     img_dir = _bench_fixture(IMG_PAGES, with_images=True, tag="img")
     images = spark.read.parquet(f"{img_dir}/images_captions.parquet")
     t0 = time.time()
-    n_img = P.decode_and_phash(images).filter("decode_ok").count()
-    n_kept = P.phash_prune_keep_first(images).count()
+    n_img = _force(P.decode_and_phash(images).filter("decode_ok"))
+    n_kept = _force(P.phash_prune_keep_first(images))
     img_sec = time.time() - t0
     times["q12_payload"] = round(img_sec, 3)
 
