@@ -3,12 +3,14 @@ parallelism levels (BASELINE.json:14 "throughput scaling efficiency >= 0.8
 between N and 4N executors"; sandbox stand-in per driver instruction:
 ``local[8]`` vs ``local[32]`` on the same input).
 
-The measured job is one politeness *mega-wave* over a synthetic 8M-URL
-candidate stream — the compute regime a 10^10-URL frontier runs in, where
-work (not per-job scheduling latency) dominates:
+The measured job is one politeness *mega-wave* over a synthetic 48M-URL
+candidate stream (sized so the ~10-20 s serial component — driver
+scheduling, broadcast builds, stage boundaries — is amortized to noise, as
+it is at 10^10-frontier wave sizes) — the compute regime a 10^10-URL
+frontier runs in, where work dominates:
 
   canonicalize (vectorized pandas UDF) -> xxhash64 / host / bucket / salt
-  -> per-bucket bloom BUILD over the 4M-row seen half (applyInPandas)
+  -> per-bucket bloom BUILD over the 24M-row seen half (applyInPandas)
   -> bloom PROBE of all candidates (cogrouped Arrow)
   -> exact dedup: broadcast semi/anti two-step against seen
   -> salted two-level per-host top-c politeness window
@@ -33,7 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "16000000"))
+N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "48000000"))
 N_HOSTS = 2000
 # N and 4N cores.  Default 2→8: on this single-socket sandbox VM the
 # string-heavy scan/canonicalize stages saturate memory bandwidth around
@@ -44,53 +46,59 @@ N_HOSTS = 2000
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
 )
-TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 DATA = os.path.join("/tmp", f"csxj_scale_cand_{N_URLS}.parquet")
 
 
 def _gen_candidates() -> None:
-    """Deterministic 8M-URL candidate table, written once with pyarrow."""
+    """Deterministic candidate table, written once with pyarrow.
+
+    Generated PER FILE (rng stream seeded by chunk index) so a 48M+-row
+    input never materializes as one giant numpy string array on the
+    driver — peak memory is one ~750k-row chunk."""
     if os.path.exists(DATA + ".complete"):
         return
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rng = np.random.RandomState(42)
-    # zipf-ish skewed host distribution: host 0 is hot (~20% of URLs)
-    w = 1.0 / (np.arange(1, N_HOSTS + 1) ** 1.1)
-    w /= w.sum()
-    hosts_idx = rng.choice(N_HOSTS, size=N_URLS, p=w)
-    sec = rng.randint(0, 8, size=N_URLS)
-    ids = np.arange(N_URLS)
-    hosts = np.char.add("crawl-", hosts_idx.astype("U6"))
-    urls = np.char.add(
-        np.char.add(np.char.add("http://", hosts), ".example/s"),
-        np.char.add(
-            np.char.add(sec.astype("U1"), "/art-"), ids.astype("U8")
-        ),
-    )
-    # messiness exercising canonicalization: fragments + tracking params
-    frag = rng.rand(N_URLS) < 0.2
-    urls = np.where(frag, np.char.add(urls, "#sec"), urls)
-    track = rng.rand(N_URLS) < 0.2
-    urls = np.where(track, np.char.add(urls, "?utm_source=feed"), urls)
-    delay = (0.5 + (hosts_idx % 7) * 0.5).astype(np.float64)
-    t = pa.table(
-        {
-            "url": pa.array(urls.tolist(), pa.string()),
-            "crawl_delay": pa.array(delay, pa.float64()),
-            "cand_seq": pa.array(ids, pa.int64()),
-        }
-    )
-    # 64 separate files: a single ~120MB file is below
-    # spark.sql.files.maxPartitionBytes and would scan in ONE task,
+    # 64 separate files: a single big file below
+    # spark.sql.files.maxPartitionBytes would scan in ONE task,
     # serializing the whole pipeline regardless of core count
     os.makedirs(DATA, exist_ok=True)
     n_files = 64
     step = (N_URLS + n_files - 1) // n_files
+    # zipf-ish skewed host distribution: host 0 is hot (~20% of URLs)
+    w = 1.0 / (np.arange(1, N_HOSTS + 1) ** 1.1)
+    w /= w.sum()
     for i in range(n_files):
-        pq.write_table(t.slice(i * step, step), f"{DATA}/part-{i:03d}.parquet")
+        rng = np.random.RandomState(42 + i)
+        lo = i * step
+        n = min(step, N_URLS - lo)
+        if n <= 0:
+            break
+        hosts_idx = rng.choice(N_HOSTS, size=n, p=w)
+        sec = rng.randint(0, 8, size=n)
+        ids = np.arange(lo, lo + n)
+        hosts = np.char.add("crawl-", hosts_idx.astype("U6"))
+        urls = np.char.add(
+            np.char.add(np.char.add("http://", hosts), ".example/s"),
+            np.char.add(np.char.add(sec.astype("U1"), "/art-"), ids.astype("U8")),
+        )
+        # messiness exercising canonicalization: fragments + tracking params
+        frag = rng.rand(n) < 0.2
+        urls = np.where(frag, np.char.add(urls, "#sec"), urls)
+        track = rng.rand(n) < 0.2
+        urls = np.where(track, np.char.add(urls, "?utm_source=feed"), urls)
+        delay = (0.5 + (hosts_idx % 7) * 0.5).astype(np.float64)
+        t = pa.table(
+            {
+                "url": pa.array(urls.tolist(), pa.string()),
+                "crawl_delay": pa.array(delay, pa.float64()),
+                "cand_seq": pa.array(ids, pa.int64()),
+            }
+        )
+        pq.write_table(t, f"{DATA}/part-{i:03d}.parquet")
     open(DATA + ".complete", "w").write("ok")
 
 
@@ -129,14 +137,13 @@ def run_one(cores: int) -> dict:
     )
     blooms = M.build_blooms(seen).cache()
     cands = c.filter(F.pmod(F.col("cand_seq"), F.lit(2)) == 1)
-    # narrow Arrow probe: (bucket, hash) in, FP-sized maybe-set out
+    # narrow Arrow probe: (bucket, hash) in, FP-sized maybe-set out; the
+    # maybe-set broadcasts STRAIGHT against the seen scan (the engine's
+    # folded _dedup_new plan — one fewer pass over cands / broadcast build)
     maybe_h = M.bloom_probe_maybe(cands, blooms).cache()
-    maybe_keys = cands.join(
+    matches = seen.join(
         F.broadcast(maybe_h), ["host_bucket", "url_hash"], "left_semi"
     ).select("url_hash", "url")
-    matches = seen.select("url_hash", "url").join(
-        F.broadcast(maybe_keys), ["url_hash", "url"], "left_semi"
-    )
     new = cands.join(F.broadcast(matches), ["url_hash", "url"], "left_anti")
     # salted two-level politeness selection
     budget_c = F.greatest(
@@ -179,7 +186,8 @@ def main() -> None:
     results: dict[int, dict] = {}
     trials: dict[int, list] = {c: [] for c in LEVELS}
     # interleave trials so host-side load drift hits both levels equally;
-    # take the best trial per level (approximates the uncontended machine)
+    # report the MEDIAN trial per level (robust to one steal-load spike,
+    # unlike best-of which overstates a lucky run)
     for _ in range(TRIALS):
         for cores in LEVELS:
             out = subprocess.run(
@@ -189,17 +197,25 @@ def main() -> None:
             line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
             trials[cores].append(json.loads(line[len("RESULT "):]))
     for cores in LEVELS:
-        best = min(trials[cores], key=lambda r: r["sec"])
-        best["all_trials_sec"] = [r["sec"] for r in trials[cores]]
-        results[cores] = best
+        ordered = sorted(trials[cores], key=lambda r: r["sec"])
+        med = ordered[len(ordered) // 2]
+        med["all_trials_sec"] = [r["sec"] for r in trials[cores]]
+        results[cores] = med
     n, n4 = LEVELS
     eff = (results[n4]["urls_per_sec"] / results[n]["urls_per_sec"]) / (n4 / n)
+    best_eff = (
+        min(trials[n], key=lambda r: r["sec"])["urls_per_sec"]
+        and (1 / min(trials[n4], key=lambda r: r["sec"])["sec"])
+        / (1 / min(trials[n], key=lambda r: r["sec"])["sec"])
+        / (n4 / n)
+    )
     print(
         json.dumps(
             {
-                "metric": "frontier URLs processed/sec, N vs 4N cores",
+                "metric": "frontier URLs processed/sec, N vs 4N cores (median of %d interleaved trials)" % TRIALS,
                 "levels": results,
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_best_of": round(best_eff, 3),
                 "target": 0.8,
                 "pass": eff >= 0.8,
             }
