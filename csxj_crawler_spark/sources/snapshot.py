@@ -46,6 +46,8 @@ class SnapshotStore:
         real cluster."""
         self.root = root
         self.write_tasks = write_tasks
+        #: memo for resolved delta-chain file lists, keyed (table, version)
+        self._live_cache: dict[tuple[str, int], list[dict]] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- paths --------------------------------------------------------------
@@ -211,9 +213,14 @@ class SnapshotStore:
 
         parent = self.current_version(table)
         prev = self.manifest(table) if parent is not None else None
-        live = list(prev["files"]) if (prev and mode == "append") else []
-        live += files
         version = 0 if parent is None else parent + 1
+        # O(delta) appends: an append manifest lists ONLY its new files and
+        # points at its parent (files_are_delta) — writing the full live
+        # list per append is O(live files) driver work and manifest bytes,
+        # the commit bottleneck at 10^5-10^6 files.  Readers resolve the
+        # chain (live_files); compaction emits a non-delta base, bounding
+        # chain length.  This mirrors Iceberg's hierarchical manifests.
+        delta = mode == "append" and prev is not None
         man = {
             "table": table,
             "version": version,
@@ -221,7 +228,8 @@ class SnapshotStore:
             "commit": commit_id,
             "mode": mode,
             "content_id": self._content_id(prev, mode, meta, commit_id),
-            "files": live,
+            "files_are_delta": delta,
+            "files": files,
             "new_files": len(files),
             "meta": meta or {},
         }
@@ -276,8 +284,6 @@ class SnapshotStore:
         pq.write_table(t, dest)
         parent = self.current_version(table)
         prev = self.manifest(table) if parent is not None else None
-        live = list(prev["files"]) if (prev and mode == "append") else []
-        live.append({"path": dest, "partition": {}, "rows": len(rows)})
         version = 0 if parent is None else parent + 1
         return {
             "table": table,
@@ -286,28 +292,62 @@ class SnapshotStore:
             "commit": commit_id,
             "mode": mode,
             "content_id": self._content_id(prev, mode, meta, commit_id),
-            "files": live,
+            "files_are_delta": mode == "append" and prev is not None,
+            "files": [{"path": dest, "partition": {}, "rows": len(rows)}],
             "new_files": 1,
             "meta": meta or {},
         }
+
+    def live_files(self, table: str, version: int | None = None) -> list[dict] | None:
+        """Resolve a snapshot's full live file list.
+
+        Delta (append) manifests list only their new files; the chain of
+        parents is walked back to the nearest base snapshot (an overwrite,
+        a compaction, or a legacy full-list manifest) and accumulated in
+        commit order.  Resolved lists are memoized per (table, version) —
+        manifests are immutable once published."""
+        if version is None:
+            version = self.current_version(table)
+        if version is None:
+            return None
+        key = (table, version)
+        cached = self._live_cache.get(key)
+        if cached is not None:
+            return cached
+        chain: list[dict] = []
+        man = self.manifest(table, version)
+        while man is not None:
+            chain.append(man)
+            if not man.get("files_are_delta"):
+                break
+            parent = man["parent"]
+            man = None if parent is None else self.manifest(table, parent)
+        files: list[dict] = []
+        for m in reversed(chain):
+            if m.get("files_are_delta"):
+                files.extend(m["files"])
+            else:
+                files = list(m["files"])
+        self._live_cache[key] = files
+        return files
 
     def partition_rows(
         self, table: str, key: str, version: int | None = None
     ) -> dict[str, int]:
         """Row counts per partition value from manifest stats (no Spark)."""
-        man = self.manifest(table, version)
+        files = self.live_files(table, version)
         out: dict[str, int] = {}
-        if man is None:
+        if files is None:
             return out
-        for f in man["files"]:
+        for f in files:
             v = f["partition"].get(key)
             if v is not None:
                 out[v] = out.get(v, 0) + f.get("rows", 0)
         return out
 
     def file_count(self, table: str) -> int:
-        man = self.manifest(table)
-        return 0 if man is None else len(man["files"])
+        files = self.live_files(table)
+        return 0 if files is None else len(files)
 
     def compact(
         self,
@@ -333,11 +373,11 @@ class SnapshotStore:
     def row_count(self, table: str, version: int | None = None) -> int | None:
         """Exact row count of a snapshot from manifest stats alone (no Spark
         job).  Falls back to footer reads for pre-stats manifests."""
-        man = self.manifest(table, version)
-        if man is None:
+        files = self.live_files(table, version)
+        if files is None:
             return None
         total = 0
-        for f in man["files"]:
+        for f in files:
             r = f.get("rows")
             if r is None:
                 r = pq.ParquetFile(f["path"]).metadata.num_rows
@@ -357,10 +397,9 @@ class SnapshotStore:
         ``partition_filter={'host_bucket': {'3','7'}}`` reads only matching
         data files — pruning happens here at the manifest, before Spark.
         """
-        man = self.manifest(table, version)
-        if man is None or not man["files"]:
+        files = self.live_files(table, version)
+        if not files:
             return None
-        files = man["files"]
         if partition_filter:
             files = [
                 f
@@ -419,10 +458,9 @@ class SnapshotStore:
         )
 
     def files_df(self, spark: SparkSession, table: str) -> DataFrame:
-        man = self.manifest(table) or {"files": []}
         rows = [
             {"path": f["path"], "partition_json": json.dumps(f["partition"], sort_keys=True)}
-            for f in man["files"]
+            for f in (self.live_files(table) or [])
         ]
         return spark.createDataFrame(
             rows, schema="path string, partition_json string"

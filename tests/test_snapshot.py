@@ -82,7 +82,29 @@ def test_metadata_tables(spark, store):
     assert snaps[1].parent == 0
     assert '"wave": 1' in snaps[1].meta_json
     files = store.files_df(spark, "t")
-    assert files.count() == len(store.manifest("t")["files"])
+    assert files.count() == len(store.live_files("t"))
+
+
+def test_append_manifests_are_o_delta(spark, store):
+    """An append manifest lists only its new files (parent-chain resolved at
+    read): per-commit manifest size must not grow with the live file count."""
+    store.commit(_df(spark, 0, 40), "t", mode="overwrite", partition_by=["host_bucket"])
+    base_live = len(store.live_files("t"))
+    for i in range(3):
+        man = store.commit(
+            _df(spark, 40 + i, 41 + i), "t", mode="append", partition_by=["host_bucket"]
+        )
+        assert man["files_are_delta"]
+        assert len(man["files"]) == man["new_files"] <= 4  # O(delta), not O(live)
+    assert len(store.live_files("t")) >= base_live + 3
+    assert store.read(spark, "t").count() == 43
+    assert store.row_count("t") == 43
+    # time travel still resolves historic chains
+    assert store.read(spark, "t", version=1).count() == 41
+    # compaction emits a non-delta base and bounds the chain
+    store.compact(spark, "t", partition_by=["host_bucket"])
+    assert not store.manifest("t").get("files_are_delta")
+    assert store.read(spark, "t").count() == 43
 
 
 def test_transaction_atomic_visibility(spark, store):
