@@ -95,7 +95,7 @@ def main() -> None:
     # thousands of URLs — the regime the 10^10 design targets.  The 13-host
     # golden fixture stays the correctness gate in tests/.
     crawl_dir = _bench_fixture(
-        CRAWL_PAGES, with_images=False, tag="crawlw", hosts_per_source=250
+        CRAWL_PAGES, with_images=False, tag="crawlw3", hosts_per_source=250
     )
     store = SnapshotStore(tempfile.mkdtemp(prefix="csxj_bench_store_"), write_tasks=8)
     eng = CrawlEngine(spark, store, n_buckets=32, wave_budget=50_000)
@@ -115,7 +115,7 @@ def main() -> None:
     # payload path: decode + phash recompute + near-dup prune
     from csxj_crawler_spark.operators import payload as P
 
-    img_dir = _bench_fixture(IMG_PAGES, with_images=True, tag="img")
+    img_dir = _bench_fixture(IMG_PAGES, with_images=True, tag="img3")
     images = spark.read.parquet(f"{img_dir}/images_captions.parquet")
     t0 = time.time()
     n_img = _force(P.decode_and_phash(images).filter("decode_ok"))

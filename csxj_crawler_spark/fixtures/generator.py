@@ -35,6 +35,15 @@ _VOCAB = (
 
 _SECTIONS = ("news", "sports", "culture", "private")
 
+#: outlink media kinds (full TaggedURL vocabulary, SURVEY.md §1.1
+#: [M csxj/common/tagging.py]): "text" is a plain hyperlink, "plaintext" a
+#: bare URL pasted without markup; image/video/tweet are embedded media
+_LINK_KINDS = ("text", "image", "video", "tweet", "plaintext")
+_LINK_KIND_P = (0.62, 0.18, 0.08, 0.05, 0.07)
+#: where on the page the link sits
+_LINK_POSITIONS = ("in text", "sidebar box", "bottom box", "embedded")
+_LINK_POSITION_P = (0.55, 0.2, 0.15, 0.1)
+
 
 def source_of_host(host: str) -> str:
     """Hosts are named ``{source}-{k}.example``; the source is the prefix."""
@@ -85,12 +94,17 @@ def generate(
     with_images: bool = True,
     n_seeds_per_source: int = 10,
     hosts_per_source: int | None = None,
+    priority_choices: tuple[float, ...] = (1.0,),
 ) -> dict[str, str]:
     """Write all fixture tables under ``out_dir``; returns name→path map.
 
     ``hosts_per_source`` widens the synthetic web (default 4/3/3/3 hosts, the
     golden-test shape); bench/scaling fixtures use hundreds of hosts so waves
-    carry thousands of URLs (the politeness cap is per host)."""
+    carry thousands of URLs (the politeness cap is per host).
+    ``priority_choices`` draws each seed's priority from the given values —
+    pass several to exercise non-uniform priority ordering (with the
+    engine/simulator ``priority_decay`` knob, discoveries then inherit
+    decayed parent priorities)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     hosts = make_hosts(rng, hosts_per_source)
@@ -115,6 +129,12 @@ def generate(
     page_sources = np.array([source_of_host(hosts[hi]) for hi in host_idx])
     for s in spec.SOURCE_ORDER:
         by_source[s] = np.where(page_sources == s)[0]
+    def _link_tags(r: np.random.RandomState) -> dict:
+        return {
+            "kind": str(r.choice(_LINK_KINDS, p=_LINK_KIND_P)),
+            "position": str(r.choice(_LINK_POSITIONS, p=_LINK_POSITION_P)),
+        }
+
     for i in range(n_pages):
         k = rng.randint(0, 13)
         links = []
@@ -129,6 +149,16 @@ def generate(
                     "url": _messify(rng, urls[j]),
                     "title": " ".join(rng.choice(_VOCAB, 3)),
                     "rel": "internal" if page_sources[j] == src else "external",
+                    **_link_tags(rng),
+                }
+            )
+        if rng.rand() < 0.08:  # in-page anchor link (canonicalizes to self)
+            links.append(
+                {
+                    "url": _messify(rng, urls[i]) + "#comments",
+                    "title": "comments",
+                    "rel": "internal",
+                    **_link_tags(rng),
                 }
             )
         if rng.rand() < 0.05:  # dangling external link → fetch-error path
@@ -137,6 +167,7 @@ def generate(
                     "url": f"http://offsite-{rng.randint(5)}.example/x{rng.randint(99)}",
                     "title": "offsite",
                     "rel": "external",
+                    **_link_tags(rng),
                 }
             )
         if links and rng.rand() < 0.2:  # literal duplicate link on the page
@@ -148,7 +179,13 @@ def generate(
     )
 
     link_t = pa.struct(
-        [("url", pa.string()), ("title", pa.string()), ("rel", pa.string())]
+        [
+            ("url", pa.string()),
+            ("title", pa.string()),
+            ("rel", pa.string()),
+            ("kind", pa.string()),
+            ("position", pa.string()),
+        ]
     )
     web_graph = pa.table(
         {
@@ -170,11 +207,14 @@ def generate(
             seed_rows.append((_messify(rng, urls[j]), src))
         # duplicate of the first pick under a different spelling
         seed_rows.append((_messify(rng, urls[picks[0]]), src))
+    seed_prio = [
+        float(rng.choice(list(priority_choices))) for _ in seed_rows
+    ]
     seeds = pa.table(
         {
             "url": pa.array([r[0] for r in seed_rows], pa.string()),
             "source": pa.array([r[1] for r in seed_rows], pa.string()),
-            "priority": pa.array([1.0] * len(seed_rows), pa.float64()),
+            "priority": pa.array(seed_prio, pa.float64()),
             "seed_rank": pa.array(range(len(seed_rows)), pa.int64()),
         }
     )

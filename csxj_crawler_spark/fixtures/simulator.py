@@ -77,6 +77,7 @@ def simulate(
     robots: dict[str, dict],
     wave_budget: int = spec.WAVE_URL_BUDGET,
     max_waves: int = spec.MAX_WAVES,
+    priority_decay: float | None = spec.DEFAULT_PRIORITY_DECAY,
 ) -> SimResult:
     """Run the reference crawl loop.
 
@@ -187,7 +188,11 @@ def simulate(
                     url=cu,
                     host=host,
                     source=source,
-                    priority=1.0,
+                    priority=(
+                        1.0
+                        if priority_decay is None
+                        else parent.priority * priority_decay
+                    ),
                     discovered_seq=next_seq,
                     parent_url=parent.url,
                     wave_discovered=wave + 1,

@@ -76,6 +76,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         salt: int = spec.DEFAULT_SALT,
         bloom_min_seen: int = spec.BLOOM_MIN_SEEN,
+        priority_decay: float | None = spec.DEFAULT_PRIORITY_DECAY,
     ):
         self.spark = spark
         self.store = store
@@ -91,6 +92,9 @@ class CrawlEngine:
         #: The golden parity tests pin bloom_min_seen=0 to force the bloom
         #: path, so both strategies stay exact-verified.
         self.bloom_min_seen = bloom_min_seen
+        #: discovery priority = parent_priority * decay (None → uniform 1.0);
+        #: must match the simulator's knob exactly (spec.py)
+        self.priority_decay = priority_decay
         #: salt cardinality for the two-level skew-safe politeness window
         self.salt = salt
         #: compact seen/fetch_log when their manifests exceed this many files
@@ -481,9 +485,10 @@ class CrawlEngine:
         disc = (
             hits.filter("status = 200")
             .select("seq", F.col("source").alias("parent_source"),
+                    F.col("priority").alias("parent_priority"),
                     F.posexplode("outlinks").alias("pos", "link"))
             .select(
-                "seq", "parent_source", "pos",
+                "seq", "parent_source", "parent_priority", "pos",
                 self._canon(F.col("link.url")).alias("url"),
             )
             .withColumn(
@@ -495,6 +500,7 @@ class CrawlEngine:
             .agg(
                 F.min("enc_seq").alias("discovered_seq"),
                 F.min_by("parent_source", "enc_seq").alias("parent_source"),
+                F.min_by("parent_priority", "enc_seq").alias("parent_priority"),
             )
         )
         disc = self._frontier_cols(disc)
@@ -507,7 +513,12 @@ class CrawlEngine:
                     F.col("parent_source")
                 ),
             )
-            .withColumn("priority", F.lit(1.0))
+            .withColumn(
+                "priority",
+                F.lit(1.0)
+                if self.priority_decay is None
+                else F.col("parent_priority") * F.lit(float(self.priority_decay)),
+            )
             .withColumn("wave_discovered", F.lit(wave + 1))
             .select(
                 "url", "url_hash", "host", "host_bucket", "source", "priority",

@@ -15,7 +15,7 @@ import tempfile
 
 from csxj_crawler_spark.fixtures import generator
 
-_TINY = os.path.join(tempfile.gettempdir(), "csxj_tiny_fixture_v2")
+_TINY = os.path.join(tempfile.gettempdir(), "csxj_tiny_fixture_v3")
 N_PAGES = 120
 N_SEEDS = 4
 

@@ -238,6 +238,124 @@ def _sql_link_tags() -> str:
 
 
 # --------------------------------------------------------------------------
+# P5 (full) — the complete TaggedURL tag vocabulary (SURVEY.md §1.1
+# [M csxj/common/tagging.py]): every outlink yields a SET of tags —
+# its page position (in text / sidebar box / bottom box / embedded), its
+# media kind when not a plain hyperlink (image / video / tweet /
+# plaintext), "anchor" when it canonicalizes to its own page, and its
+# scope (same-host / same-owner / external).  Counts per tag over the web.
+# --------------------------------------------------------------------------
+def q_link_tag_counts_full(spark, sf_dir):
+    d = tiny_fixture_dir()
+    g = spark.read.parquet(f"{d}/web_graph.parquet")
+    exploded = g.select("url", "host", F.explode("outlinks").alias("link"))
+    canon = U.canonicalize_expr(F.col("link.url"))
+    lhost = U.host_of(canon)
+    scope = (
+        F.when(lhost == F.col("host"), F.lit("same-host"))
+        .when(
+            F.split(lhost, "-").getItem(0) == F.split(F.col("host"), "-").getItem(0),
+            F.lit("same-owner"),
+        )
+        .otherwise(F.lit("external"))
+    )
+    media = F.when(F.col("link.kind") != "text", F.col("link.kind"))
+    anchor = F.when(canon == F.col("url"), F.lit("anchor"))
+    tags = F.array(F.col("link.position"), scope, media, anchor)
+    return (
+        exploded.select(
+            F.explode(F.filter(tags, lambda x: x.isNotNull())).alias("tag")
+        )
+        .groupBy("tag")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def _sql_link_tags_full() -> str:
+    import pyarrow.parquet as pq
+
+    d = tiny_fixture_dir()
+    counts: dict[str, int] = {}
+    for page in pq.read_table(f"{d}/web_graph.parquet").to_pylist():
+        for link in page["outlinks"] or []:
+            cu = simulator.canon_py(link["url"])
+            lh = simulator._host_of(cu)
+            tags = [link["position"]]
+            if lh == page["host"]:
+                tags.append("same-host")
+            elif lh.split("-", 1)[0] == page["host"].split("-", 1)[0]:
+                tags.append("same-owner")
+            else:
+                tags.append("external")
+            if link["kind"] != "text":
+                tags.append(link["kind"])
+            if cu == page["url"]:
+                tags.append("anchor")
+            for t in tags:
+                counts[t] = counts.get(t, 0) + 1
+    return values_sql(
+        [("tag", "VARCHAR"), ("n_links", "BIGINT")], list(counts.items())
+    )
+
+
+# --------------------------------------------------------------------------
+# A3/E3 — the reference's signature Provider lifecycle query (SURVEY.md
+# §3.1 E3: per-provider/day/batch article + error counts from the stored
+# JSON db) re-expressed as a ROLLUP over OUR fetch_log store.
+# --------------------------------------------------------------------------
+def q_crawl_provider_stats(spark, sf_dir):
+    eng = _engine(spark)
+    log = eng.store.read(spark, "fetch_log")
+    return (
+        log.select(
+            "source",
+            F.to_date(F.timestamp_seconds(F.col("fetch_ts")))
+            .cast("string")
+            .alias("day"),
+            "wave",
+            "status",
+        )
+        .rollup("source", "day", "wave")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum((F.col("status") == 200).cast("long")).alias("n_ok"),
+            F.sum((F.col("status") != 200).cast("long")).alias("n_err"),
+        )
+    )
+
+
+def _sql_provider_stats() -> str:
+    from datetime import datetime, timezone
+
+    rows = [
+        (
+            r["source"],
+            datetime.fromtimestamp(r["fetch_ts"], tz=timezone.utc)
+            .date()
+            .isoformat(),
+            r["wave"],
+            r["status"],
+        )
+        for r in _sim().crawl_order
+    ]
+    base = values_sql(
+        [
+            ("source", "VARCHAR"),
+            ("day", "VARCHAR"),
+            ("wave", "INT"),
+            ("status", "INT"),
+        ],
+        rows,
+    )
+    return f"""
+SELECT source, day, wave, COUNT(*) AS n_fetches,
+       SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS n_ok,
+       SUM(CASE WHEN status <> 200 THEN 1 ELSE 0 END) AS n_err
+FROM ({base}) GROUP BY ROLLUP(source, day, wave)
+"""
+
+
+# --------------------------------------------------------------------------
 # S6/S7 — snapshot lineage metadata tables (Iceberg-style #snapshots + root)
 # --------------------------------------------------------------------------
 def q_crawl_lineage(spark, sf_dir):
@@ -278,4 +396,6 @@ def QUERIES() -> dict[str, tuple]:
         "crawl_wave_metrics": (q_crawl_wave_metrics, _sql_crawl_metrics()),
         "crawl_excluded": (q_crawl_excluded, _sql_crawl_excluded()),
         "link_tag_counts": (q_link_tag_counts, _sql_link_tags()),
+        "link_tag_counts_full": (q_link_tag_counts_full, _sql_link_tags_full()),
+        "crawl_provider_stats": (q_crawl_provider_stats, _sql_provider_stats()),
     }

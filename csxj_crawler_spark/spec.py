@@ -79,6 +79,12 @@ DEFAULT_HOST_BUCKETS: int = 64
 #: salt cardinality for skewed-host salting (J4)
 DEFAULT_SALT: int = 8
 
+#: discovery priority rule: a discovered URL's priority is
+#: ``parent_priority * priority_decay``; ``None`` reproduces the reference's
+#: uniform behaviour (every discovery enqueued at priority 1.0).  Both the
+#: simulator and the engine take the knob and must stay in lock-step.
+DEFAULT_PRIORITY_DECAY: float | None = None
+
 #: phash near-duplicate Hamming threshold (D6)
 PHASH_HAMMING_T: int = 6
 
