@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 plus the training-data-pipeline ops (dedup / similarity / text /
 payload) and the judged crawl invariants (order / seen set / metrics /
-lineage).  Round 1: 49 queries, 44 with DuckDB SQL oracles (see COVERAGE.md
+lineage).  Round 2: 51 queries, 46 with DuckDB SQL oracles (see COVERAGE.md
 for the §2 row → query map).
 
 Crawl/payload queries run over a deterministic tiny fixture (seed=42,

@@ -67,6 +67,8 @@ def main() -> None:
         "q8_ngram_jaccard": textops.QUERIES["dedup_ngram_jaccard"][0],
         "q9_cosine_topk": simops.QUERIES["sim_cosine_topk"][0],
         "q10_minhash_lsh": dedupops.QUERIES["dedup_minhash_lsh"][0],
+        "q13_simhash": dedupops.QUERIES["dedup_simhash"][0],
+        "q14_lsh_ann": simops.QUERIES["sim_lsh_ann"][0],
     }
 
     from pyspark.sql import functions as F
