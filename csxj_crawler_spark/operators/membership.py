@@ -9,11 +9,16 @@ blooms may false-positive, never false-negative.
 
 All build/probe math is vectorized numpy over Arrow batches:
 
-* build — ``groupBy(host_bucket).applyInPandas`` → one ``(bucket, n, blob)``
-  row per partition;
-* probe — cogrouped ``applyInPandas`` of candidates × blooms per bucket (no
-  driver collect, no blob replication per row);
-* merge — OR-reduce of per-commit blobs (UDAF-style grouped map).
+* build — ``groupBy(host_bucket, hash % salt).applyInPandas`` → one
+  ``(bucket, salt, n, blob)`` row per sub-filter.  The salt sub-key splits a
+  hot host's bucket across ``salt`` uniformly-loaded tasks (hash-derived, so
+  load is uniform by construction); each sub-filter covers exactly the keys
+  that will probe it, at the same bits/key — no replication, no widening;
+* probe — cogrouped ``applyInPandas`` of candidates × their matching
+  sub-filter per (bucket, hash % salt) group (no driver collect, no blob
+  replication per row);
+* merge — OR-reduce of per-commit blobs per (bucket, salt) (UDAF-style
+  grouped map).
 
 The cuckoo filter (D5) adds deletion support (frontier retractions) per the
 public cuckoo-filter design: 16-bit fingerprints, 4-slot buckets, 2 candidate
@@ -31,7 +36,7 @@ from csxj_crawler_spark import spec
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
-BLOOM_SCHEMA = "host_bucket int, n long, m long, k int, bloom binary"
+BLOOM_SCHEMA = "host_bucket int, salt int, n long, m long, k int, bloom binary"
 
 
 def _u64(a) -> np.ndarray:
@@ -94,25 +99,43 @@ def bloom_probe_bits(
     return hit.all(axis=1)
 
 
+def bloom_m_for(n: int, bits_per_key: int = spec.BLOOM_BITS_PER_KEY) -> int:
+    """Power-of-two bit count a filter over ``n`` keys is sized to."""
+    m = 64
+    while m < n * bits_per_key:
+        m *= 2
+    return m
+
+
 def build_blooms(
     seen: DataFrame,
     hash_col: str = "url_hash",
-    min_m_by_bucket: dict[int, int] | None = None,
+    min_m_by_key: dict[tuple[int, int], int] | None = None,
+    salt: int = spec.BLOOM_SALT,
 ) -> DataFrame:
-    """D2: per-host_bucket bloom blobs from the seen table.
+    """D2: per-(host_bucket, hash%salt) bloom sub-filter blobs.
 
-    ``min_m_by_bucket`` (bucket → bit count) sizes each bucket's filter to at
-    least the existing merged filter's m, so a subsequent OR-merge is a plain
+    The hash-derived salt sub-key makes every sub-filter's load uniform even
+    when one host dominates a bucket — unsalted, the hot bucket's build ran
+    as ONE Arrow task and bounded the stage (measured 2.8x instead of ~4x
+    scaling 2→8 cores).  Each sub-filter is sized to ITS OWN key count at
+    the standard bits/key, so total blob bytes match an unsalted build and
+    the per-key FP rate is unchanged.
+
+    ``min_m_by_key`` ((bucket, salt) → bit count) floors a DELTA build at
+    the existing sub-filter's m so the subsequent merge is a plain
     equal-width OR (see :func:`bloom_build_bits`)."""
-    mins = min_m_by_bucket or {}
+    mins = min_m_by_key or {}
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf[hash_col].to_numpy()
         bucket = int(pdf["host_bucket"].iloc[0])
-        words, m = bloom_build_bits(hashes, min_m=mins.get(bucket, 64))
+        s = int(pdf["_bsalt"].iloc[0])
+        words, m = bloom_build_bits(hashes, min_m=mins.get((bucket, s), 64))
         return pd.DataFrame(
             {
-                "host_bucket": [int(pdf["host_bucket"].iloc[0])],
+                "host_bucket": [bucket],
+                "salt": [s],
                 "n": [len(hashes)],
                 "m": [m],
                 "k": [spec.BLOOM_NUM_HASHES],
@@ -120,20 +143,20 @@ def build_blooms(
             }
         )
 
-    return (
-        seen.select("host_bucket", hash_col)
-        .groupBy("host_bucket")
-        .applyInPandas(_build, BLOOM_SCHEMA)
+    sub = seen.select("host_bucket", hash_col).withColumn(
+        "_bsalt", F.pmod(F.col(hash_col), F.lit(max(1, salt))).cast("int")
     )
+    return sub.groupBy("host_bucket", "_bsalt").applyInPandas(_build, BLOOM_SCHEMA)
 
 
 def merge_blooms(blooms: DataFrame) -> DataFrame:
-    """D4: OR-combine multiple blobs per bucket (equal m required)."""
+    """D4: OR-combine multiple blobs per (host_bucket, salt) sub-filter
+    (equal m expected — delta builds floor at the merged m; the tiling
+    fallback stays sound for width mismatches but merges should avoid it)."""
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         m = int(pdf["m"].max())
         acc = np.zeros(m // 64, dtype=np.uint64)
-        n = 0
         for blob, bm in zip(pdf["bloom"], pdf["m"]):
             w = np.frombuffer(blob, dtype=np.uint64)
             if int(bm) == m:
@@ -144,6 +167,7 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
         return pd.DataFrame(
             {
                 "host_bucket": [int(pdf["host_bucket"].iloc[0])],
+                "salt": [int(pdf["salt"].iloc[0])],
                 "n": [int(pdf["n"].sum())],
                 "m": [m],
                 "k": [int(pdf["k"].iloc[0])],
@@ -151,20 +175,26 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
             }
         )
 
-    return blooms.groupBy("host_bucket").applyInPandas(_merge, BLOOM_SCHEMA)
+    return blooms.groupBy("host_bucket", "salt").applyInPandas(_merge, BLOOM_SCHEMA)
 
 
-def bloom_prefilter(candidates: DataFrame, blooms: DataFrame) -> DataFrame:
+def bloom_prefilter(
+    candidates: DataFrame, blooms: DataFrame, salt: int = spec.BLOOM_SALT
+) -> DataFrame:
     """D3: cogrouped probe — returns candidates with ``maybe_seen`` boolean.
 
     Rows with ``maybe_seen = false`` are DEFINITELY new (bloom has no false
     negatives) and can skip the exact anti-join; ``true`` rows continue to D1.
+    Cogrouping is per (host_bucket, hash%salt) against the matching
+    sub-filter — must use the salt the blooms were built with.
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     ) + ", maybe_seen boolean"
+    out_cols = [f.name for f in candidates.schema.fields] + ["maybe_seen"]
 
     def _probe(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
+        cand = cand.drop(columns=["_psalt"])
         if len(cand) == 0:
             return cand.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(blm) == 0:
@@ -175,21 +205,29 @@ def bloom_prefilter(candidates: DataFrame, blooms: DataFrame) -> DataFrame:
         hit = bloom_probe_bits(cand["url_hash"].to_numpy(), words, m, k)
         return cand.assign(maybe_seen=hit)
 
+    cand_s = candidates.withColumn(
+        "_psalt", F.pmod(F.col("url_hash"), F.lit(max(1, salt))).cast("int")
+    )
     return (
-        candidates.groupBy("host_bucket")
-        .cogroup(blooms.groupBy("host_bucket"))
+        cand_s.groupBy("host_bucket", "_psalt")
+        .cogroup(blooms.groupBy("host_bucket", "salt"))
         .applyInPandas(_probe, out_schema)
+        .select(*out_cols)
     )
 
 
-def bloom_probe_maybe(candidates: DataFrame, blooms: DataFrame) -> DataFrame:
+def bloom_probe_maybe(
+    candidates: DataFrame, blooms: DataFrame, salt: int = spec.BLOOM_SALT
+) -> DataFrame:
     """D3, narrow form: returns only the ``(host_bucket, url_hash)`` rows the
     bloom flags as 'maybe seen'.
 
     The Arrow boundary carries 12 bytes/candidate in and almost nothing out
     (the maybe-set is FP-rate sized), instead of full candidate rows both
     ways — the difference between a bandwidth-bound probe and a compute-bound
-    one.  Callers re-attach the verdict with broadcast joins on the hash."""
+    one.  Callers re-attach the verdict with broadcast joins on the hash.
+    Each (bucket, hash%salt) candidate group meets exactly its sub-filter —
+    uniform task sizes under host skew, no blob replication."""
 
     def _probe(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
         if len(cand) == 0 or len(blm) == 0:
@@ -201,12 +239,14 @@ def bloom_probe_maybe(candidates: DataFrame, blooms: DataFrame) -> DataFrame:
         hit = bloom_probe_bits(
             cand["url_hash"].to_numpy(), words, int(blm["m"].iloc[0]), int(blm["k"].iloc[0])
         )
-        return cand[hit]
+        return cand[hit][["host_bucket", "url_hash"]]
 
+    cand_s = candidates.select("host_bucket", "url_hash").withColumn(
+        "_psalt", F.pmod(F.col("url_hash"), F.lit(max(1, salt))).cast("int")
+    )
     return (
-        candidates.select("host_bucket", "url_hash")
-        .groupBy("host_bucket")
-        .cogroup(blooms.groupBy("host_bucket"))
+        cand_s.groupBy("host_bucket", "_psalt")
+        .cogroup(blooms.groupBy("host_bucket", "salt"))
         .applyInPandas(_probe, "host_bucket int, url_hash long")
     )
 

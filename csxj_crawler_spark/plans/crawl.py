@@ -148,7 +148,7 @@ class CrawlEngine:
         # hash) is in the maybe-set: a superset of the true matches only by
         # hash collisions, still FP-rate sized, and the (hash, url) anti-
         # join below keeps exactness either way.
-        maybe_h = M.bloom_probe_maybe(disc, blooms).cache()
+        maybe_h = M.bloom_probe_maybe(disc, blooms, salt=spec.BLOOM_SALT).cache()
         self._wave_caches.append(maybe_h)
         seen = self.store.read(self.spark, "seen")
         matches = seen.join(
@@ -167,6 +167,7 @@ class CrawlEngine:
         return {
             "seen_rows": self.store.row_count("seen") or 0,
             "seen_content": None if man is None else man.get("content_id"),
+            "bloom_salt": spec.BLOOM_SALT,
         }
 
     def _blooms(self) -> DataFrame | None:
@@ -189,9 +190,14 @@ class CrawlEngine:
         if seen is None:
             return None
         self.store.commit(
-            M.build_blooms(seen), "blooms", mode="overwrite", meta=stamp
+            self._full_bloom_build(seen), "blooms", mode="overwrite", meta=stamp
         )
         return self.store.read(self.spark, "blooms")
+
+    def _full_bloom_build(self, seen: DataFrame) -> DataFrame:
+        """Full build: one sub-filter per (host_bucket, hash%salt), each
+        sized to its own key count — uniform tasks under host skew."""
+        return M.build_blooms(seen, salt=spec.BLOOM_SALT)
 
     def _update_blooms(self, new: DataFrame) -> None:
         """Fold the just-committed discoveries into the per-bucket blobs (D4)
@@ -213,34 +219,43 @@ class CrawlEngine:
         if prev is None:
             # first crossing of the threshold: size to the full seen set
             self.store.commit(
-                M.build_blooms(self.store.read(self.spark, "seen")),
+                self._full_bloom_build(self.store.read(self.spark, "seen")),
                 "blooms", mode="overwrite", meta=stamp,
             )
             return
-        # tiny driver-side metadata reads: (bucket, n, m) without blobs, and
-        # per-bucket delta counts of the wave-sized `new`
+        # tiny driver-side metadata reads: (bucket, salt, n, m) without
+        # blobs, and per-sub-filter delta counts of the wave-sized `new`
         prev_nm = {
-            r["host_bucket"]: (int(r["n"]), int(r["m"]))
-            for r in prev.select("host_bucket", "n", "m").collect()
+            (r["host_bucket"], r["salt"]): (int(r["n"]), int(r["m"]))
+            for r in prev.select("host_bucket", "salt", "n", "m").collect()
         }
         delta_n = {
-            r["host_bucket"]: int(r["cnt"])
-            for r in new.groupBy("host_bucket").agg(F.count("*").alias("cnt")).collect()
+            (r["host_bucket"], r["salt"]): int(r["cnt"])
+            for r in new.groupBy(
+                "host_bucket",
+                F.pmod(F.col("url_hash"), F.lit(spec.BLOOM_SALT))
+                .cast("int")
+                .alias("salt"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
         }
         overflow = any(
-            b in prev_nm
-            and (prev_nm[b][0] + c) * spec.BLOOM_BITS_PER_KEY > prev_nm[b][1]
-            for b, c in delta_n.items()
+            key in prev_nm
+            and (prev_nm[key][0] + c) * spec.BLOOM_BITS_PER_KEY > prev_nm[key][1]
+            for key, c in delta_n.items()
         )
         if overflow:
             self.store.commit(
-                M.build_blooms(self.store.read(self.spark, "seen")),
+                self._full_bloom_build(self.store.read(self.spark, "seen")),
                 "blooms", mode="overwrite", meta=stamp,
             )
             return
-        delta = M.build_blooms(
-            new, min_m_by_bucket={b: m for b, (_n, m) in prev_nm.items()}
-        )
+        # delta sub-filters floored at the merged sub-filter's m (keys new
+        # to the sidecar size to their own delta count — first blob, no
+        # tiling on merge)
+        mins = {key: m for key, (_n, m) in prev_nm.items()}
+        delta = M.build_blooms(new, min_m_by_key=mins, salt=spec.BLOOM_SALT)
         merged = M.merge_blooms(delta.unionByName(prev.select(*delta.columns)))
         self.store.commit(merged, "blooms", mode="overwrite", meta=stamp)
 

@@ -99,6 +99,13 @@ BLOOM_NUM_HASHES: int = 7
 #: above this.
 BLOOM_MIN_SEEN: int = 500_000
 
+#: sub-task fan-out for bloom build/probe within one host_bucket (D2/D3).
+#: A hot host concentrates rows in one bucket; unsalted, that single Arrow
+#: cogroup task bounds the whole build/probe stage (a straggler on any
+#: cluster size).  Splitting by ``hash % BLOOM_SALT`` at the bucket's full
+#: m keeps results bit-identical while parallelizing the hot bucket.
+BLOOM_SALT: int = 16
+
 
 def per_wave_budget(crawl_delay: float) -> int:
     """Max fetches of one host inside one wave given its crawl_delay.

@@ -9,6 +9,7 @@ import pandas as pd
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from csxj_crawler_spark.operators import membership as M
 
@@ -80,7 +81,9 @@ def seen_df(spark):
 
 def test_spark_bloom_build_probe(spark, seen_df):
     blooms = M.build_blooms(seen_df)
-    assert blooms.count() == 8
+    # one sub-filter per (bucket, hash%salt) group present in the data
+    assert blooms.select("host_bucket").distinct().count() == 8
+    assert blooms.count() > 8
     cand_rows = [(int(h) % 8, int(h)) for h in range(0, 4000)]
     cand = spark.createDataFrame(cand_rows, "host_bucket int, url_hash long")
     probed = M.bloom_prefilter(cand, blooms)
@@ -95,17 +98,23 @@ def test_spark_bloom_build_probe(spark, seen_df):
 
 
 def test_spark_bloom_merge(spark, seen_df):
+    from csxj_crawler_spark import spec
+
     b1 = M.build_blooms(seen_df.filter("url_hash < 2000"))
     b2 = M.build_blooms(seen_df.filter("url_hash >= 2000"))
     merged = M.merge_blooms(b1.unionByName(b2))
-    assert merged.count() == 8
+    assert merged.select("host_bucket").distinct().count() == 8
     for r in merged.collect():
         words = np.frombuffer(r.bloom, dtype=np.uint64)
-        bucket_keys = np.array(
-            [h for h in range(0, 4000, 3) if h % 8 == r.host_bucket],
+        sub_keys = np.array(
+            [
+                h
+                for h in range(0, 4000, 3)
+                if h % 8 == r.host_bucket and h % spec.BLOOM_SALT == r.salt
+            ],
             dtype=np.int64,
         )
-        assert M.bloom_probe_bits(bucket_keys, words, int(r.m), int(r.k)).all()
+        assert M.bloom_probe_bits(sub_keys, words, int(r.m), int(r.k)).all()
 
 
 def test_sized_delta_merge_does_not_saturate():
@@ -130,6 +139,33 @@ def test_sized_delta_merge_does_not_saturate():
     assert density < 0.5, density
     assert tiled_density > 2 * density, (tiled_density, density)
     assert M.bloom_probe_bits(base, words, m, 7).all()
+
+
+def test_sub_filter_fanout_no_false_negatives_any_salt(spark, seen_df):
+    """The (bucket, hash%salt) sub-filter fan-out preserves the bloom
+    contract at every fan-out width: the maybe-set covers ALL seen keys (no
+    false negatives) and stays FP-rate sized.  Build salt and probe salt
+    are one parameter — each candidate group meets exactly the sub-filter
+    that holds its keys."""
+    cand = spark.createDataFrame(
+        [(int(h) % 8, int(h)) for h in range(0, 6000)], "host_bucket int, url_hash long"
+    )
+    seen_keys = {(int(h) % 8, int(h)) for h in range(0, 4000, 3)}
+    sizes = {}
+    for salt in (1, 8, 16):
+        blooms = M.build_blooms(seen_df, salt=salt)
+        got = {
+            (r.host_bucket, r.url_hash)
+            for r in M.bloom_probe_maybe(cand, blooms, salt=salt).collect()
+        }
+        assert seen_keys <= got, f"false negatives at salt={salt}"
+        # FP-rate sized: non-seen probes rarely flagged
+        fp = len(got - seen_keys) / (6000 - len(seen_keys))
+        assert fp < 0.05, (salt, fp)
+        sizes[salt] = blooms.agg(F.sum(F.length("bloom"))).collect()[0][0]
+    # total blob bytes comparable across fan-outs (pow2 rounding aside):
+    # sub-filters are sized to their own keys, not replicated
+    assert sizes[16] <= 4 * sizes[1], sizes
 
 
 def test_probe_empty_bloom_marks_all_new(spark):
