@@ -37,12 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "48000000"))
 N_HOSTS = 2000
-# N and 4N cores.  Default 2→8: on this single-socket sandbox VM the
-# string-heavy scan/canonicalize stages saturate memory bandwidth around
-# ~8-16 threads (a bare parquet scan is *slower* at local[32] than
-# local[8]), so 8→32 measures the hardware ceiling, not the plan.  Run
-# SPARK_GRAFT_SCALE_LEVELS=8,32 to see that ceiling; on a real multi-node
-# cluster each executor brings its own memory bus.
+# N and 4N cores.  Default 2→8.  Caveat for interpreting the number: all
+# threads share ONE JVM on one socket here, and measured per-core
+# throughput on this job decays monotonically with thread count
+# (63k URLs/s/core at local[1] → ~55k at 2 → ~40k at 8 → worse at 32),
+# i.e. co-scheduled threads contend for LLC/memory bandwidth/hypervisor
+# credit regardless of which N is chosen — that contention, not a serial
+# plan stage, is what the sandbox ratio mostly measures (per-stage scaling
+# of every plan stage is itemized in BASELINE.md).  On a real multi-node
+# cluster N→4N adds machines with their own memory buses; the plan's only
+# sub-linear stage is the budget-bounded global ranking (≤ wave_budget
+# rows in one partition).
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
 )
