@@ -4,9 +4,15 @@ The sandbox has no PIL/cv2/imageio, so codecs are numpy-only:
 
 * ``raw`` — ``w*h*3`` uint8, C order.
 * ``ppm`` — binary P6 (header + raw), the classic netpbm format.
-* ``png`` — RGB8, zlib-deflated scanlines; encoder emits filter 0, decoder
-  un-filters types 0 (None), 1 (Sub), 2 (Up) — enough for any spec-compliant
-  RGB8 PNG using those filters.
+* ``png`` — RGB8, zlib-deflated scanlines; encoder can emit any single
+  filter type 0-4 (None/Sub/Up/Average/Paeth — all vectorized, since the
+  encoder predicts from ORIGINAL pixels), decoder un-filters all five:
+  None/Up are whole-row numpy ops, Sub is a per-channel ``cumsum % 256``
+  (the spec's left-dependency is exactly a prefix sum), Average and Paeth
+  reconstruct from the already-reconstructed left pixel so they are
+  inherently sequential in x — those two use a bounded numpy loop over
+  scanline columns (3-channel vector per step), documented cost, and only
+  run for foreign PNGs that actually chose those filters.
 
 These run inside Arrow-batched pandas UDFs / ``mapInArrow`` on the engine
 side (see ``operators/payload.py``); per-image work is numpy on decoded
@@ -84,12 +90,47 @@ def _png_chunk(typ: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pix: np.ndarray) -> bytes:
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Spec Paeth predictor, elementwise over int arrays (returns int32)."""
+    a = a.astype(np.int32)
+    b = b.astype(np.int32)
+    c = c.astype(np.int32)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pix: np.ndarray, filter_type: int = 0) -> bytes:
+    """RGB8 PNG with one filter type for every scanline (0-4).
+
+    All encoder filters are whole-image vectorized: predictions use the
+    ORIGINAL pixel values (unlike decode, which must use reconstructed
+    ones), so Sub/Up/Average/Paeth are shifted-array arithmetic mod 256."""
     h, w, _ = pix.shape
+    bpp = 3
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    # filter byte 0 prepended to every scanline
-    raster = np.zeros((h, 1 + w * 3), dtype=np.uint8)
-    raster[:, 1:] = pix.reshape(h, w * 3)
+    rows = pix.reshape(h, w * bpp).astype(np.int32)
+    left = np.zeros_like(rows)
+    left[:, bpp:] = rows[:, :-bpp]  # raw(x - bpp), 0 left of first pixel
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]  # prev scanline, 0 above first row
+    upleft = np.zeros_like(rows)
+    upleft[1:, bpp:] = rows[:-1, :-bpp]
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:  # Sub
+        filt = rows - left
+    elif filter_type == 2:  # Up
+        filt = rows - up
+    elif filter_type == 3:  # Average
+        filt = rows - (left + up) // 2
+    elif filter_type == 4:  # Paeth
+        filt = rows - _paeth_predict(left, up, upleft)
+    else:
+        raise ValueError(f"unknown PNG filter {filter_type}")
+    raster = np.zeros((h, 1 + w * bpp), dtype=np.uint8)
+    raster[:, 0] = filter_type
+    raster[:, 1:] = (filt & 0xFF).astype(np.uint8)
     idat = zlib.compress(raster.tobytes(), 6)
     return (
         _PNG_SIG
@@ -122,18 +163,42 @@ def decode_png(data: bytes, w: int = 0, h: int = 0) -> np.ndarray:
     stride = 1 + pw * 3
     rows = raw.reshape(ph, stride)
     filters = rows[:, 0]
-    out = rows[:, 1:].astype(np.int16).copy()
+    out = rows[:, 1:].astype(np.int32).copy()
     bpp = 3
+    n = pw * bpp
+    zero_row = np.zeros(n, dtype=np.int32)
     for r in range(ph):
         f = filters[r]
-        if f == 0:
+        prev = out[r - 1] if r > 0 else zero_row  # already reconstructed
+        if f == 0:  # None
             pass
-        elif f == 1:  # Sub: add left pixel
-            for c in range(bpp, pw * 3):
-                out[r, c] = (out[r, c] + out[r, c - bpp]) & 0xFF
-        elif f == 2:  # Up: add row above (vectorized)
-            if r > 0:
-                out[r] = (out[r] + out[r - 1]) & 0xFF
+        elif f == 1:  # Sub: recon(x) = raw(x) + recon(x-bpp) — a prefix
+            # sum per channel; mod-256 commutes with addition, so one
+            # vectorized cumsum then & 0xFF reconstructs the whole row
+            out[r] = np.cumsum(
+                out[r].reshape(pw, bpp).astype(np.int64), axis=0
+            ).reshape(n) & 0xFF
+        elif f == 2:  # Up: add reconstructed row above (whole-row vector op)
+            out[r] = (out[r] + prev) & 0xFF
+        elif f == 3:  # Average: recon(x) = raw(x) + (recon(x-bpp)+prev(x))//2
+            # — depends on the reconstructed LEFT pixel, sequential in x by
+            # spec; bounded loop over pw columns, 3-channel vector per step
+            row = out[r].reshape(pw, bpp)
+            pv = prev.reshape(pw, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(pw):
+                left = (row[x] + (left + pv[x]) // 2) & 0xFF
+                row[x] = left
+        elif f == 4:  # Paeth: predictor of reconstructed left/up/upleft —
+            # sequential in x by spec; same bounded column loop
+            row = out[r].reshape(pw, bpp)
+            pv = prev.reshape(pw, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(pw):
+                left = (row[x] + _paeth_predict(left, pv[x], upleft)) & 0xFF
+                row[x] = left
+                upleft = pv[x]
         else:
             raise ValueError(f"unsupported PNG filter {f}")
     return out.astype(np.uint8).reshape(ph, pw, 3)

@@ -285,12 +285,36 @@ class CuckooFilter:
         )
 
     def insert_many(self, hashes: np.ndarray) -> int:
+        """Vectorized common path: scatter fingerprints into empty slots in
+        2·SLOTS bounded passes (one per (bucket-choice, slot) column, each
+        O(batch) numpy work); within a pass, one winner per distinct target
+        bucket (``np.unique`` returns the smallest index per value —
+        deterministic), losers retry in later passes against the updated
+        table.  Only items whose BOTH buckets fill up fall through to the
+        per-element kick-chain loop — kick chains are sequential by nature,
+        but they are the rare tail, not the batch."""
         h = _u64(hashes)
         fps = self._fp(h)
         i1s = self._i1(h)
-        inserted = 0
-        for fp, i1 in zip(fps, i1s):
-            if self._insert_one(int(fp), int(i1)):
+        i2s = self._i2(i1s, fps)
+        n = len(fps)
+        placed = np.zeros(n, dtype=bool)
+        for buckets in (i1s, i2s):  # preference order matches _insert_one
+            for s in range(self.SLOTS):
+                rem = np.flatnonzero(~placed)
+                if not len(rem):
+                    break
+                b = buckets[rem]
+                cand = rem[self.table[b, s] == 0]
+                if not len(cand):
+                    continue
+                _, first = np.unique(buckets[cand], return_index=True)
+                win = cand[first]
+                self.table[buckets[win], s] = fps[win]
+                placed[win] = True
+        inserted = int(placed.sum())
+        for j in np.flatnonzero(~placed):
+            if self._insert_one(int(fps[j]), int(i1s[j])):
                 inserted += 1
         return inserted
 
@@ -324,19 +348,31 @@ class CuckooFilter:
         return in1 | in2
 
     def delete_many(self, hashes: np.ndarray) -> int:
+        """Vectorized like :meth:`insert_many`: per (bucket-choice, slot)
+        pass, clear ONE matching slot per distinct bucket (each item deletes
+        at most one copy; a same-fp duplicate in the batch re-probes the
+        updated table in later passes, so two batch items never double-count
+        a single stored copy)."""
         h = _u64(hashes)
         fps = self._fp(h)
         i1s = self._i1(h)
         i2s = self._i2(i1s, fps)
-        deleted = 0
-        for fp, i1, i2 in zip(fps, i1s, i2s):
-            for i in (int(i1), int(i2)):
-                slots = np.where(self.table[i] == fp)[0]
-                if len(slots):
-                    self.table[i, slots[0]] = 0
-                    deleted += 1
+        n = len(fps)
+        done = np.zeros(n, dtype=bool)
+        for buckets in (i1s, i2s):
+            for s in range(self.SLOTS):
+                rem = np.flatnonzero(~done)
+                if not len(rem):
                     break
-        return deleted
+                b = buckets[rem]
+                cand = rem[self.table[b, s] == fps[rem]]
+                if not len(cand):
+                    continue
+                _, first = np.unique(buckets[cand], return_index=True)
+                win = cand[first]
+                self.table[buckets[win], s] = 0
+                done[win] = True
+        return int(done.sum())
 
     def to_bytes(self) -> bytes:
         return self.table.tobytes()

@@ -128,6 +128,13 @@ def phash_neardup_pairs(
             )
         ).alias("band_id", "band_val"),
     )
+    # occupancy cap (spec.BAND_BUCKET_CAP): flat/monochrome images share a
+    # phash band value; without the cap one degenerate bucket goes O(k²)
+    from csxj_crawler_spark.operators import banding
+
+    bands, _obs = banding.cap_band_buckets(
+        bands, ["band_id", "band_val"], "image_id"
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

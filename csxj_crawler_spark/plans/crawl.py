@@ -199,7 +199,7 @@ class CrawlEngine:
         sized to its own key count — uniform tasks under host skew."""
         return M.build_blooms(seen, salt=spec.BLOOM_SALT)
 
-    def _update_blooms(self, new: DataFrame) -> None:
+    def _update_blooms(self, new: DataFrame, pre_stamp: dict | None = None) -> None:
         """Fold the just-committed discoveries into the per-bucket blobs (D4)
         and stamp the covered seen snapshot.
 
@@ -208,14 +208,27 @@ class CrawlEngine:
         array across the whole filter (which saturates bit density toward 1
         after a few waves).  When a bucket's key count would overflow its
         current m (n·bits_per_key > m), the whole sidecar is rebuilt from
-        seen at the right size — amortized-doubling cost, like compaction."""
+        seen at the right size — amortized-doubling cost, like compaction.
+
+        ``pre_stamp`` (the seen stamp captured BEFORE this wave's commit) is
+        the validity gate for the delta merge: the prev sidecar is only
+        merged into if its own stamp matches — i.e. it covered exactly the
+        pre-commit seen snapshot.  Any mismatch (a sidecar written below a
+        different bloom_min_seen threshold, a divergent content chain, a
+        changed salt) falls back to a full rebuild — merging a stale sidecar
+        with only the last wave's delta would re-stamp it as valid while
+        missing earlier rows: false negatives, re-crawled duplicates."""
         if not self.use_bloom:
             return
         seen_rows = self.store.row_count("seen") or 0
         if seen_rows < self.bloom_min_seen:
             return
         stamp = self._seen_stamp()
+        prev_man = self.store.manifest("blooms")
         prev = self.store.read(self.spark, "blooms")
+        if prev is not None and pre_stamp is not None:
+            if any(prev_man["meta"].get(k) != v for k, v in pre_stamp.items()):
+                prev = None  # stale/foreign sidecar: full rebuild below
         if prev is None:
             # first crossing of the threshold: size to the full seen set
             self.store.commit(
@@ -352,12 +365,13 @@ class CrawlEngine:
             "seen", mode="append", partition_by=["host_bucket"],
             meta={"wave": wave, "injected": True},
         )
+        pre_stamp = self._seen_stamp()
         txn.commit(meta={"wave": wave, "injected": True})
         n_new = sum(
             f.get("rows", 0) for f in seen_man["files"][-seen_man["new_files"]:]
         ) if seen_man["new_files"] else 0
         if n_new > 0:
-            self._update_blooms(new)
+            self._update_blooms(new, pre_stamp)
         for c in self._wave_caches:
             c.unpersist()
         self._wave_caches = []
@@ -462,7 +476,12 @@ class CrawlEngine:
         # keep-first on the WAVE-SIZED join output — an extra narrow stage
         # inside an existing job, never a shuffle of the huge graph.
         g = graph.select("url", "outlinks", "status", "image_id")
+        # prefer the SUCCESSFUL row when duplicate graph rows disagree on
+        # status (a bare desc(status) would keep 500/404 over 200 and drop
+        # the successful fetch's outlinks); remaining keys make the pick
+        # deterministic among equal-status rows
         wdup = Window.partitionBy("url").orderBy(
+            F.desc(F.col("status") == 200),
             F.desc("status"),
             F.asc_nulls_last("image_id"),
             F.asc(F.xxhash64(F.to_json(F.struct("outlinks")))),
@@ -596,11 +615,18 @@ class CrawlEngine:
             mode="append",
             meta={"wave": wave},
         )
+        # stamp of the seen snapshot the current bloom sidecar should cover
+        # (current_version is still pre-wave: stage() publishes nothing) —
+        # _update_blooms validates the prev sidecar against it, so a sidecar
+        # from a diverged history (e.g. a store reopened with a different
+        # bloom_min_seen) full-rebuilds instead of being delta-merged into
+        # false negatives.
+        pre_stamp = self._seen_stamp()
         txn.commit(meta={"wave": wave, "next_seq": next_seq})
         if urls_new > 0:
             # bloom sidecar updates OUTSIDE the txn: it is self-healing (a
-            # stale sidecar is detected by row count and rebuilt from seen)
-            self._update_blooms(new)
+            # stale sidecar is detected by its stamp and rebuilt from seen)
+            self._update_blooms(new, pre_stamp)
         # amortized maintenance: keep append-heavy tables' file counts bounded
         if self.store.file_count("seen") > self.compact_files:
             self.store.compact(spark, "seen", partition_by=["host_bucket"])

@@ -48,7 +48,11 @@ def _engine(spark: SparkSession) -> CrawlEngine:
 
 
 # --------------------------------------------------------------------------
-# P1 — URL canonicalization, JVM-expression variant
+# P1 — URL canonicalization: BOTH engine paths in one judged query.  The
+# JVM-expression variant produces canon_url; the vectorized Arrow (pandas)
+# UDF variant is recomputed alongside and compared bit-for-bit — the oracle
+# asserts arrow_identical=TRUE on every row, so a divergence between the
+# two implementations fails the hash, not just a unit test.
 # --------------------------------------------------------------------------
 def q_url_canonicalize(spark, sf_dir):
     d = tiny_fixture_dir()
@@ -57,17 +61,9 @@ def q_url_canonicalize(spark, sf_dir):
         "seed_rank",
         "url",
         U.canonicalize_expr(F.col("url")).alias("canon_url"),
-    )
-
-
-# P1 — same rule through the vectorized Arrow (pandas) UDF
-def q_url_canonicalize_arrow(spark, sf_dir):
-    d = tiny_fixture_dir()
-    seeds = spark.read.parquet(f"{d}/seeds.parquet")
-    return seeds.select(
-        "seed_rank",
-        "url",
-        U.canonicalize_udf(F.col("url")).alias("canon_url"),
+        (
+            U.canonicalize_expr(F.col("url")) == U.canonicalize_udf(F.col("url"))
+        ).alias("arrow_identical"),
     )
 
 
@@ -76,11 +72,17 @@ def _sql_url_canonicalize() -> str:
 
     d = tiny_fixture_dir()
     rows = [
-        (r["seed_rank"], r["url"], simulator.canon_py(r["url"]))
+        (r["seed_rank"], r["url"], simulator.canon_py(r["url"]), True)
         for r in pq.read_table(f"{d}/seeds.parquet").to_pylist()
     ]
     return values_sql(
-        [("seed_rank", "BIGINT"), ("url", "VARCHAR"), ("canon_url", "VARCHAR")], rows
+        [
+            ("seed_rank", "BIGINT"),
+            ("url", "VARCHAR"),
+            ("canon_url", "VARCHAR"),
+            ("arrow_identical", "BOOLEAN"),
+        ],
+        rows,
     )
 
 
@@ -348,9 +350,9 @@ def _sql_provider_stats() -> str:
         rows,
     )
     return f"""
-SELECT source, day, wave, COUNT(*) AS n_fetches,
-       SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS n_ok,
-       SUM(CASE WHEN status <> 200 THEN 1 ELSE 0 END) AS n_err
+SELECT source, day, wave, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(CASE WHEN status <> 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
 FROM ({base}) GROUP BY ROLLUP(source, day, wave)
 """
 
@@ -389,7 +391,6 @@ def QUERIES() -> dict[str, tuple]:
     return {
         "crawl_lineage": (q_crawl_lineage, None),
         "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
-        "url_canonicalize_arrow": (q_url_canonicalize_arrow, _sql_url_canonicalize()),
         "crawl_wave0_frontier": (q_crawl_wave0_frontier, _sql_wave0()),
         "crawl_order": (q_crawl_order, _sql_crawl_order()),
         "crawl_seen_set": (q_crawl_seen_set, _sql_crawl_seen()),

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from csxj_crawler_spark.operators import banding
+
 _P = np.uint64((1 << 61) - 1)  # Mersenne prime for the hash family
 N_HASHES = 64
 N_BANDS = 8  # 8 bands × 8 rows
@@ -112,15 +114,11 @@ def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
         "doc_id", minhash_sig(F.col("text")).alias("sig")
     )
     bands = minhash_band_keys(d)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    # occupancy-capped self-join: a degenerate band bucket cannot go
+    # quadratic (spec.BAND_BUCKET_CAP; drop count observable, see banding.py)
+    cand, _obs = banding.band_pairs(bands, ["band_key"], "doc_id")
+    cand = cand.select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
     )
     cand = cand.join(
         d.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
@@ -148,7 +146,7 @@ def q_dedup_simhash(spark, sf_dir) -> DataFrame:
     )
     bands = d.select(
         "doc_id",
-        "sig",
+        "sig",  # one long — cheaper riding the join than two re-attach joins
         F.posexplode(
             F.array(
                 *[
@@ -158,6 +156,9 @@ def q_dedup_simhash(spark, sf_dir) -> DataFrame:
             )
         ).alias("band_id", "band_val"),
     )
+    # occupancy cap: empty documents all SimHash to the same signature, so
+    # ONE 16-bit band value can hold the whole degenerate class at 100 TB
+    bands, _obs = banding.cap_band_buckets(bands, ["band_id", "band_val"], "doc_id")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -188,16 +188,14 @@ def q_sim_lsh_ann(spark, sf_dir):
     bands = e.select(
         "vec_id", F.posexplode("bands").alias("band_id", "band_val")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+    # occupancy-capped self-join (spec.BAND_BUCKET_CAP): a dense hyperplane
+    # bucket (e.g. all-zero embeddings) cannot go quadratic; drop count is
+    # observable via the banding helper's Observation
+    from csxj_crawler_spark.operators import banding
+
+    cand, _obs = banding.band_pairs(bands, ["band_id", "band_val"], "vec_id")
+    cand = cand.select(
+        F.col("vec_id_a").alias("vec_a"), F.col("vec_id_b").alias("vec_b")
     )
     vecs = e.select("vec_id", "emb_d")
     return (

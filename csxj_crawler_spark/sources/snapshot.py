@@ -46,8 +46,13 @@ class SnapshotStore:
         real cluster."""
         self.root = root
         self.write_tasks = write_tasks
-        #: memo for resolved delta-chain file lists, keyed (table, version)
-        self._live_cache: dict[tuple[str, int], list[dict]] = {}
+        #: memo for resolved delta-chain file lists — ONE entry per table
+        #: (the newest version resolved so far).  A long crawl commits a new
+        #: version per table per wave; keying by (table, version) without
+        #: eviction would retain every historical version's full file list,
+        #: O(waves × live_files) driver memory at the 10^5-10^6-file regime.
+        #: Older versions (explicit time travel) re-resolve uncached.
+        self._live_cache: dict[str, tuple[int, list[dict]]] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- paths --------------------------------------------------------------
@@ -227,7 +232,7 @@ class SnapshotStore:
             "parent": parent,
             "commit": commit_id,
             "mode": mode,
-            "content_id": self._content_id(prev, mode, meta, commit_id),
+            "content_id": self._content_id(prev, mode, meta, commit_id, files),
             "files_are_delta": delta,
             "files": files,
             "new_files": len(files),
@@ -236,19 +241,27 @@ class SnapshotStore:
         return man
 
     @staticmethod
-    def _content_id(prev: dict | None, mode: str, meta: dict | None, commit_id: str) -> str:
+    def _content_id(
+        prev: dict | None,
+        mode: str,
+        meta: dict | None,
+        commit_id: str,
+        files: list[dict],
+    ) -> str:
         """Logical-content identity of a snapshot: changes on any append or
         overwrite, but a COMPACTION (rewrite of the same rows) inherits its
-        parent's id.  Consumers that derive sidecar structures from a table
-        (the crawl engine's bloom blobs) stamp this id: compaction keeps
-        them valid, any content change invalidates them."""
-        if (
-            mode == "overwrite"
-            and (meta or {}).get("compaction")
-            and prev is not None
-            and prev.get("content_id")
-        ):
-            return prev["content_id"]
+        parent's id, and so does a ZERO-ROW APPEND (the table's content is
+        unchanged).  Consumers that derive sidecar structures from a table
+        (the crawl engine's bloom blobs) stamp this id: compaction and empty
+        waves keep them valid, any content change invalidates them.  Without
+        the zero-row rule, every empty wave late in a crawl would flip the
+        stamp and silently degrade the O(delta) bloom merge into an O(seen)
+        full rebuild."""
+        if prev is not None and prev.get("content_id"):
+            if mode == "overwrite" and (meta or {}).get("compaction"):
+                return prev["content_id"]
+            if mode == "append" and sum(f.get("rows", 0) for f in files) == 0:
+                return prev["content_id"]
         return commit_id
 
     def commit_pylist(
@@ -291,7 +304,9 @@ class SnapshotStore:
             "parent": parent,
             "commit": commit_id,
             "mode": mode,
-            "content_id": self._content_id(prev, mode, meta, commit_id),
+            "content_id": self._content_id(
+                prev, mode, meta, commit_id, [{"rows": len(rows)}]
+            ),
             "files_are_delta": mode == "append" and prev is not None,
             "files": [{"path": dest, "partition": {}, "rows": len(rows)}],
             "new_files": 1,
@@ -304,16 +319,16 @@ class SnapshotStore:
         Delta (append) manifests list only their new files; the chain of
         parents is walked back to the nearest base snapshot (an overwrite,
         a compaction, or a legacy full-list manifest) and accumulated in
-        commit order.  Resolved lists are memoized per (table, version) —
-        manifests are immutable once published."""
+        commit order.  Only the newest resolved version per table is
+        memoized (manifests are immutable once published; older versions
+        are touched only by explicit time travel and re-resolve)."""
         if version is None:
             version = self.current_version(table)
         if version is None:
             return None
-        key = (table, version)
-        cached = self._live_cache.get(key)
-        if cached is not None:
-            return cached
+        cached = self._live_cache.get(table)
+        if cached is not None and cached[0] == version:
+            return cached[1]
         chain: list[dict] = []
         man = self.manifest(table, version)
         while man is not None:
@@ -328,7 +343,8 @@ class SnapshotStore:
                 files.extend(m["files"])
             else:
                 files = list(m["files"])
-        self._live_cache[key] = files
+        if cached is None or version >= cached[0]:
+            self._live_cache[table] = (version, files)
         return files
 
     def partition_rows(
@@ -418,19 +434,33 @@ class SnapshotStore:
 
     # -- metadata tables (Iceberg-style `#snapshots` / `#files`) -------------
     def snapshots_df(self, spark: SparkSession, table: str) -> DataFrame:
-        rows = [
-            {
-                "version": m["version"],
-                "parent": m["parent"],
-                "commit": m["commit"],
-                "mode": m["mode"],
-                "num_files": len(m["files"]),
-                "new_files": m["new_files"],
-                "meta_json": json.dumps(m["meta"], sort_keys=True),
-            }
-            for v in self.versions(table)
-            if (m := self.manifest(table, v))
-        ]
+        # num_files = LIVE files at the snapshot (Iceberg total-data-files
+        # semantics); with delta manifests len(m["files"]) would equal
+        # new_files for appends, silently changing the column's meaning.
+        # Computed incrementally in version order (delta: parent + new;
+        # base: new) — O(versions), no per-version chain walks.
+        live_at: dict[int, int] = {}
+        rows = []
+        for v in self.versions(table):
+            m = self.manifest(table, v)
+            if not m:
+                continue
+            if m.get("files_are_delta"):
+                live = live_at.get(m["parent"], 0) + len(m["files"])
+            else:
+                live = len(m["files"])
+            live_at[v] = live
+            rows.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "commit": m["commit"],
+                    "mode": m["mode"],
+                    "num_files": live,
+                    "new_files": m["new_files"],
+                    "meta_json": json.dumps(m["meta"], sort_keys=True),
+                }
+            )
         return spark.createDataFrame(
             rows,
             schema="version int, parent int, commit string, mode string, "

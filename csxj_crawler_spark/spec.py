@@ -106,6 +106,17 @@ BLOOM_MIN_SEEN: int = 500_000
 #: m keeps results bit-identical while parallelizing the hot bucket.
 BLOOM_SALT: int = 16
 
+#: per-bucket occupancy cap for every LSH band self-join (minhash, simhash,
+#: phash, hyperplane-ANN).  Within-bucket pair generation is quadratic in
+#: bucket occupancy; 16-bit bands give ≤65,536 buckets, so ONE pathological
+#: value (e.g. a boilerplate page class hashing to the same band) can
+#: otherwise go O(k²) at 100 TB.  Buckets keep their ``cap``
+#: lowest-id members (deterministic); dropped rows are counted via
+#: ``Observation`` metrics on the same action — never a silent cap (the
+#: count rides the query's own job, zero extra Spark jobs).  Fixture
+#: occupancies are ≪ this, so small-scale outputs are unchanged.
+BAND_BUCKET_CAP: int = 1024
+
 
 def per_wave_budget(crawl_delay: float) -> int:
     """Max fetches of one host inside one wave given its crawl_delay.

@@ -173,3 +173,51 @@ def test_manifest_pruning_limits_input_files(spark, tmp_path_factory):
     pruned = store.read(spark, "t", partition_filter={"host_bucket": {"3"}})
     assert len(pruned.inputFiles()) * 8 <= len(store.read(spark, "t").inputFiles()) * 1 + 8
     assert {r.host_bucket for r in pruned.distinct().collect()} == {3}
+
+
+def test_band_cap_bounds_skewed_bucket(spark):
+    """r2 verdict #6: a pathological band bucket (here: one value holding
+    almost every row) must be capped at spec.BAND_BUCKET_CAP members with
+    the drop count observable — no silent caps, no quadratic task."""
+    from csxj_crawler_spark.operators import banding
+
+    n_hot = 60
+    rows = [(f"id{i:04d}", 0, 7) for i in range(n_hot)]  # one hot bucket
+    rows += [(f"id{1000 + i}", 1, i) for i in range(10)]  # singletons
+    bands = spark.createDataFrame(rows, "doc_id string, band_id int, band_val int")
+    pairs, obs = banding.band_pairs(bands, ["band_id", "band_val"], "doc_id", cap=8)
+    got = pairs.count()
+    # hot bucket contributes C(8,2)=28 pairs, singletons none
+    assert got == 28
+    m = obs.get
+    assert m["band_rows_dropped"] == n_hot - 8
+    assert m["max_bucket_occupancy"] == n_hot
+    # deterministic keep-lowest-id: every surviving pair id is among the 8
+    # smallest ids of the hot bucket
+    keep = {f"id{i:04d}" for i in range(8)}
+    for r in pairs.collect():
+        assert r.doc_id_a in keep and r.doc_id_b in keep
+
+
+def test_band_cap_window_reuses_join_exchange(spark):
+    """The cap's ranking window partitions by the join keys, so the band
+    self-join must not introduce an extra exchange pair beyond the uncapped
+    plan: the window sort feeds the join's hash partitioning directly."""
+    from csxj_crawler_spark.operators import banding
+
+    bands = spark.createDataFrame(
+        [(f"d{i}", i % 5, i % 3) for i in range(100)],
+        "doc_id string, band_id int, band_val int",
+    )
+    pairs, _obs = banding.band_pairs(bands, ["band_id", "band_val"], "doc_id")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the capped plan must not cartesian and must stay a sort-merge/hash
+    # equi-join on the band keys
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # window partitioning == join keys: exactly ONE band-key exchange per
+    # side (the window's, reused by the join) — a stacked
+    # window-exchange + join-exchange would show 4
+    import re
+
+    band_exchanges = len(re.findall(r"Exchange hashpartitioning\(band_id", plan))
+    assert band_exchanges == 2, plan

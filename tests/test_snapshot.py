@@ -180,3 +180,58 @@ def test_single_commit_advances_root_when_present(spark, store):
     root = store._root_current()
     assert root["version"] == v0 + 1
     assert store.read(spark, "a").count() == 6
+
+
+def test_zero_row_append_is_content_neutral(spark, store):
+    """A zero-row append must inherit the parent's content_id (the table's
+    content is unchanged), so sidecar consumers (bloom blobs) stay valid
+    across empty waves — otherwise every zero-discovery wave late in a crawl
+    silently degrades the O(delta) bloom merge into an O(seen) rebuild."""
+    store.commit(_df(spark, 0, 10), "t", mode="overwrite", partition_by=["host_bucket"])
+    c0 = store.manifest("t")["content_id"]
+    empty = _df(spark, 0, 10).filter("id < 0")
+    store.commit(empty, "t", mode="append", partition_by=["host_bucket"])
+    man = store.manifest("t")
+    assert man["content_id"] == c0          # content unchanged
+    assert store.row_count("t") == 10
+    # a NONEMPTY append still changes it
+    store.commit(_df(spark, 10, 12), "t", mode="append", partition_by=["host_bucket"])
+    assert store.manifest("t")["content_id"] != c0
+    # pylist path: zero-row append also content-neutral
+    import pyarrow as pa
+
+    sch = pa.schema([("x", pa.int64())])
+    store.commit_pylist([{"x": 1}], sch, "m", mode="append")
+    cm = store.manifest("m")["content_id"]
+    store.commit_pylist([], sch, "m", mode="append")
+    assert store.manifest("m")["content_id"] == cm
+
+
+def test_snapshots_df_num_files_is_live_count(spark, store):
+    """num_files reports LIVE files at each snapshot (Iceberg
+    total-data-files), not the delta manifest's own list length."""
+    store.commit(_df(spark, 0, 40), "t", mode="overwrite", partition_by=["host_bucket"])
+    store.commit(_df(spark, 40, 41), "t", mode="append", partition_by=["host_bucket"])
+    store.commit(_df(spark, 41, 42), "t", mode="append", partition_by=["host_bucket"])
+    snaps = {s.version: s for s in store.snapshots_df(spark, "t").collect()}
+    base = snaps[0].num_files
+    assert snaps[1].num_files == base + snaps[1].new_files
+    assert snaps[2].num_files == snaps[1].num_files + snaps[2].new_files
+    assert snaps[2].num_files == len(store.live_files("t"))
+
+
+def test_live_cache_keeps_only_latest_version(spark, store):
+    """The resolved-file-list memo must not grow with the number of
+    versions (one crawl wave = one version per table; retaining every
+    historical version's full list is O(waves × live_files) driver mem)."""
+    store.commit(_df(spark, 0, 8), "t", mode="overwrite", partition_by=["host_bucket"])
+    for i in range(5):
+        store.commit(_df(spark, 8 + i, 9 + i), "t", mode="append",
+                     partition_by=["host_bucket"])
+        store.row_count("t")  # resolves (and caches) the latest version
+    assert len(store._live_cache) == 1
+    v_latest, _ = store._live_cache["t"]
+    assert v_latest == store.current_version("t")
+    # time travel still works (uncached resolve) and does not evict latest
+    assert store.read(spark, "t", version=1).count() == 9
+    assert store._live_cache["t"][0] == v_latest
