@@ -4,8 +4,17 @@ throughput on deterministic bench fixtures.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "crawl_urls_per_sec": ..., "images_per_sec": ...}
+   "queries": {...per-query MEDIAN sec...}, "trials": {...per-query [s,s,s]...},
+   "sf": ..., "crawl_urls_per_sec": ..., "images_per_sec": ...}
+
+Steal-proofing (r2 lesson: same-level trials on this host vary up to 47%
+from hypervisor steal — single-shot timings are a lottery): every headline
+query is executed SPARK_GRAFT_BENCH_TRIALS (default 3) times in INTERLEAVED
+passes (pass 1 runs q1..qN, then pass 2, then pass 3 — a steal burst hits
+one pass, not all trials of one query) and the reported number is the
+per-query median; the raw trial lists ship in the JSON so a reader can see
+the ambient variance instead of guessing.  The crawl and payload rows get
+the same median-of-N treatment (fresh store per crawl trial).
 
 Scaling-efficiency evidence (N vs 4N cores) lives in scripts/scaling_bench.py
 (two JVMs can't share one bench process); its results are recorded in
@@ -33,6 +42,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
 CRAWL_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "12"))
 IMG_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_PAGES", "3000"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _bench_fixture(
@@ -85,12 +101,18 @@ def main() -> None:
         ).collect()[0]
         return int(row["n"] or 0)
 
-    times: dict[str, float] = {}
+    trials: dict[str, list[float]] = {name: [] for name in headline}
     t_all = time.time()
-    for name, fn in headline.items():
-        t0 = time.time()
-        _force(fn(spark, sf))
-        times[name] = round(time.time() - t0, 3)
+    # interleaved passes: a steal burst lands on one PASS, not on all
+    # trials of one query; per-query median taken across passes
+    for _pass in range(TRIALS):
+        for name, fn in headline.items():
+            t0 = time.time()
+            _force(fn(spark, sf))
+            trials[name].append(round(time.time() - t0, 3))
+    times: dict[str, float] = {
+        name: round(_median(ts), 3) for name, ts in trials.items()
+    }
 
     # crawl-engine throughput (frontier URLs processed / sec) on a web with
     # realistic host diversity (1000 hosts) so politeness waves carry
@@ -99,19 +121,25 @@ def main() -> None:
     crawl_dir = _bench_fixture(
         CRAWL_PAGES, with_images=False, tag="crawlw3", hosts_per_source=250
     )
-    store = SnapshotStore(tempfile.mkdtemp(prefix="csxj_bench_store_"), write_tasks=8)
-    eng = CrawlEngine(spark, store, n_buckets=32, wave_budget=50_000)
     seeds = spark.read.parquet(f"{crawl_dir}/seeds.parquet")
     graph = spark.read.parquet(f"{crawl_dir}/web_graph.parquet").cache()
     graph.count()
     robots = spark.read.parquet(f"{crawl_dir}/robots.parquet")
-    t0 = time.time()
-    # 12 waves cover frontier growth → peak → early drain (the design
-    # regime); beyond that the small fixture is politeness-starved (~3
-    # URLs/wave on the hot host) which measures rate limits, not the engine
-    stats = eng.run(seeds, graph, robots, max_waves=CRAWL_WAVES)
-    crawl_sec = time.time() - t0
+    crawl_trials: list[float] = []
+    for _t in range(TRIALS):
+        store = SnapshotStore(
+            tempfile.mkdtemp(prefix="csxj_bench_store_"), write_tasks=8
+        )
+        eng = CrawlEngine(spark, store, n_buckets=32, wave_budget=50_000)
+        t0 = time.time()
+        # 12 waves cover frontier growth → peak → early drain (the design
+        # regime); beyond that the small fixture is politeness-starved (~3
+        # URLs/wave on the hot host) — measures rate limits, not the engine
+        stats = eng.run(seeds, graph, robots, max_waves=CRAWL_WAVES)
+        crawl_trials.append(round(time.time() - t0, 3))
+    crawl_sec = _median(crawl_trials)
     processed = sum(s.fetched + s.errors for s in stats)
+    trials["q11_crawl"] = crawl_trials
     times["q11_crawl"] = round(crawl_sec, 3)
 
     # payload path: decode + phash recompute + near-dup prune
@@ -119,18 +147,25 @@ def main() -> None:
 
     img_dir = _bench_fixture(IMG_PAGES, with_images=True, tag="img3")
     images = spark.read.parquet(f"{img_dir}/images_captions.parquet")
-    t0 = time.time()
-    n_img = _force(P.decode_and_phash(images).filter("decode_ok"))
-    n_kept = _force(P.phash_prune_keep_first(images))
-    img_sec = time.time() - t0
+    img_trials: list[float] = []
+    for _t in range(TRIALS):
+        t0 = time.time()
+        n_img = _force(P.decode_and_phash(images).filter("decode_ok"))
+        n_kept = _force(P.phash_prune_keep_first(images))
+        img_trials.append(round(time.time() - t0, 3))
+    img_sec = _median(img_trials)
+    trials["q12_payload"] = img_trials
     times["q12_payload"] = round(img_sec, 3)
 
     total = round(time.time() - t_all, 3)
     out = {
-        "metric": "headline queries + crawl/payload throughput",
-        "value": total,
+        "metric": "headline queries + crawl/payload throughput (per-query median of interleaved trials)",
+        "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "trials": trials,
+        "n_trials": TRIALS,
+        "wall_all_trials": total,
         "sf": sf.rstrip("/").split("sf")[-1],
         "crawl_urls_per_sec": round(processed / crawl_sec, 1),
         "crawl_urls_processed": processed,
