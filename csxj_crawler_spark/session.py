@@ -32,6 +32,18 @@ def _default_driver_mem() -> str:
     return "8g"
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill scratch on tmpfs when the host has one: on a single box
+    the OS disk is a FIXED-throughput resource, so disk-backed shuffle caps
+    high-parallelism runs and distorts any core-scaling measurement (a real
+    cluster scales local NVMe with node count).  SPARK_GRAFT_LOCAL_DIR wins;
+    set it to e.g. /tmp to force disk."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    return "/dev/shm/csxj-spark-local" if os.path.isdir("/dev/shm") else None
+
+
 def get_spark(
     app: str = "csxj-crawler-spark",
     master: str | None = None,
@@ -60,6 +72,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

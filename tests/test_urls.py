@@ -108,3 +108,45 @@ def test_host_bucket_stable_and_bounded(spark, fix_dir):
     for r in out:
         by_host.setdefault(r["host"], set()).add(r["b"])
     assert all(len(v) == 1 for v in by_host.values())
+
+
+_nasty = st.text(
+    alphabet="abAB09:/?&=#._-%+~ \t", min_size=0, max_size=40
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(s=_nasty)
+def test_arrow_canon_matches_re_reference_nasty(s):
+    """_canon_arrow (RE2 kernels) must be bit-identical to _canon_pandas
+    (Python re) on arbitrary junk, not just well-formed URLs — this locks the
+    consuming rewrites of the three lookahead patterns."""
+    from csxj_crawler_spark.functions.urls import _canon_arrow
+
+    assert _canon_arrow(pd.Series([s])).iloc[0] == _canon_pandas(
+        pd.Series([s])
+    ).iloc[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    host=_hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_paths,
+    query=_queries,
+    extra=st.sampled_from(["", "&", "&&", "&utm_a=", "?"]),
+    frag=st.sampled_from(["", "#x"]),
+)
+def test_arrow_canon_matches_re_reference_urls(
+    scheme, host, port, path, query, extra, frag
+):
+    from csxj_crawler_spark.functions.urls import _canon_arrow
+
+    url = f"{scheme}://{host}{port}{path}"
+    if query:
+        url += "?" + query
+    url += extra + frag
+    a = _canon_arrow(pd.Series([url])).iloc[0]
+    r = _canon_pandas(pd.Series([url])).iloc[0]
+    assert a == r
