@@ -1,0 +1,90 @@
+"""IVF ANN index (operators/ann.py): determinism, recall vs the exact
+brute-force baseline, and partition pruning of unprobed inverted lists."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csxj_crawler_spark.operators import ann
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return ann.train_centroids(emb, k=ann.IVF_K, iters=ann.IVF_ITERS)
+
+
+def test_train_deterministic(emb, centroids):
+    again = ann.train_centroids(emb, k=ann.IVF_K, iters=ann.IVF_ITERS)
+    assert np.allclose(centroids, again)
+    # unit rows (spherical k-means)
+    assert np.allclose(np.linalg.norm(centroids, axis=1), 1.0)
+
+
+def test_index_covers_all_rows(emb, centroids):
+    idx = ann.build_index(emb, centroids)
+    n = emb.count()
+    assert idx.count() == n
+    stats = idx.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in stats) == n
+    assert all(0 <= r["cluster_id"] < ann.IVF_K for r in stats)
+
+
+def _exact_topk(emb, qv: np.ndarray, exclude_id: int, k: int = 10) -> list[int]:
+    rows = emb.select("vec_id", "embedding").collect()
+    q = qv / np.linalg.norm(qv)
+    scored = []
+    for r in rows:
+        if r["vec_id"] == exclude_id:
+            continue
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        scored.append((float(v @ q / np.linalg.norm(v)), -r["vec_id"]))
+    scored.sort(reverse=True)
+    return [-i for _, i in scored[:k]]
+
+
+def test_recall_vs_brute_force(emb, centroids):
+    """recall@10 over 5 query vectors: >= 0.8 at the default nprobe=8/k=16,
+    strictly above the ~nprobe/k floor at nprobe=4 (centroid ranking carries
+    signal even on this near-uniform synthetic data), and exactly 1.0 at
+    nprobe=k where IVF degenerates to exhaustive search."""
+    queries = emb.filter(F.col("vec_id") < 5).collect()
+    idx = ann.build_index(emb, centroids).cache()
+    got = {4: 0, ann.IVF_NPROBE: 0, ann.IVF_K: 0}
+    for r in queries:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        truth = set(_exact_topk(emb, qv, r["vec_id"]))
+        for nprobe in got:
+            res = ann.search_topk(
+                idx.filter(F.col("vec_id") != r["vec_id"]), centroids,
+                list(qv), nprobe=nprobe, topk=10,
+            ).collect()
+            got[nprobe] += len(truth & {x["vec_id"] for x in res})
+    n = 10 * len(queries)
+    assert got[ann.IVF_K] == n  # nprobe=k == exact
+    assert got[ann.IVF_NPROBE] / n >= 0.8
+    assert got[4] / n > 4 / ann.IVF_K + 0.1  # beats the random-lists floor
+
+
+def test_search_prunes_unprobed_partitions(emb, centroids, spark, tmp_path):
+    """On a partitionBy(cluster_id) index table the probe filter must reach
+    the scan as a partition filter — unprobed inverted lists are never
+    read."""
+    path = str(tmp_path / "ivf_index")
+    ann.build_index(emb, centroids).write.partitionBy("cluster_id").parquet(path)
+    idx = spark.read.parquet(path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    res = ann.search_topk(idx, centroids, qv, nprobe=2, topk=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert res.count() == 5
