@@ -99,6 +99,29 @@ def bloom_probe_bits(
     return hit.all(axis=1)
 
 
+def bloom_probe_bits_multi(
+    hashes: np.ndarray,
+    words: np.ndarray,
+    off: np.ndarray,
+    m: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Probe a BATCH of hashes against per-element sub-filters in one
+    vectorized pass: ``words`` is every sub-filter's bit array concatenated,
+    ``off[i]``/``m[i]`` the word offset and bit count of the filter hash i
+    probes.  Same double-hash positions as :func:`bloom_probe_bits` — the two
+    agree bit-for-bit for any single filter (property-tested)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    h1 = _mix64(_u64(hashes))
+    h2 = (h1 ^ (h1 >> np.uint64(33))) * _MIX | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    pos = (h1[:, None] + i * h2[:, None]) % m[:, None]
+    w = off[:, None] + (pos >> np.uint64(6))
+    b = pos & np.uint64(63)
+    return ((words[w] >> b) & np.uint64(1)).all(axis=1)
+
+
 def bloom_m_for(n: int, bits_per_key: int = spec.BLOOM_BITS_PER_KEY) -> int:
     """Power-of-two bit count a filter over ``n`` keys is sized to."""
     m = 64
@@ -249,6 +272,92 @@ def bloom_probe_maybe(
         .cogroup(blooms.groupBy("host_bucket", "salt"))
         .applyInPandas(_probe, "host_bucket int, url_hash long")
     )
+
+
+def blooms_total_bytes(blooms: DataFrame) -> int:
+    """Total blob bytes of a bloom sidecar — a column-pruned metadata
+    aggregate (reads only the int ``m`` column, never the blobs)."""
+    row = blooms.select((F.sum("m") / 8).cast("long").alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
+def bloom_probe_maybe_bcast(
+    candidates: DataFrame, blooms: DataFrame, salt: int = spec.BLOOM_SALT
+) -> DataFrame:
+    """D3, broadcast form: same contract as :func:`bloom_probe_maybe` — the
+    FP-rate-sized ``(host_bucket, url_hash)`` maybe-set — but as a MAP-SIDE
+    probe: the whole sidecar ships to executors once and every scan task
+    probes its own batches in place.
+
+    Scale strategy (mirrors how engines pick broadcast vs shuffle joins):
+
+    * sidecar fits executor memory (``blooms_total_bytes`` ≤ caller's
+      threshold, e.g. 10 bits/key over ≤ ~10^8-10^9 seen keys) → THIS path:
+      zero candidate shuffle, no cogroup sort, the probe pipelines with the
+      frontier scan — at 10^10 candidate rows the avoided shuffle is
+      ~10^10 × 12 B;
+    * beyond it → the cogrouped :func:`bloom_probe_maybe`, which never
+      replicates blobs (each sub-filter meets exactly its candidate group).
+
+    All sub-filters are concatenated into ONE flat uint64 array with per-
+    (bucket, salt) offsets, so a mixed-group batch probes in one vectorized
+    gather (:func:`bloom_probe_bits_multi`) — no per-group Python loop.
+    """
+    rows = blooms.select("host_bucket", "salt", "n", "m", "k", "bloom").collect()
+    spark = candidates.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "host_bucket int, url_hash long")
+    k = int(rows[0]["k"])
+    n_b = max(int(r["host_bucket"]) for r in rows) + 1
+    n_groups = n_b * salt
+    off = np.zeros(n_groups, dtype=np.uint64)
+    m_arr = np.zeros(n_groups, dtype=np.uint64)  # m == 0 → no sub-filter
+    parts: list[np.ndarray] = []
+    cursor = 0
+    for r in rows:
+        gid = int(r["host_bucket"]) * salt + int(r["salt"])
+        w = np.frombuffer(r["bloom"], dtype=np.uint64)
+        off[gid] = cursor
+        m_arr[gid] = int(r["m"])
+        parts.append(w)
+        cursor += len(w)
+    words = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
+    bc = spark.sparkContext.broadcast((words, off, m_arr, k, salt, n_b))
+
+    def _probe(batches):
+        w_b, off_b, m_b, k_b, salt_b, nb_b = bc.value
+        for pdf in batches:
+            h = pdf["url_hash"].to_numpy()
+            bucket = pdf["host_bucket"].to_numpy()
+            gid = bucket.astype(np.int64) * salt_b + (h % salt_b)
+            ok = (bucket >= 0) & (bucket < nb_b)
+            gid = np.where(ok, gid, 0)
+            m_row = m_b[gid]
+            present = ok & (m_row > 0)
+            hit = np.zeros(len(h), dtype=bool)
+            if present.any():
+                idx = np.flatnonzero(present)
+                hit[idx] = bloom_probe_bits_multi(
+                    h[idx], w_b, off_b[gid[idx]], m_b[gid[idx]], k_b
+                )
+            yield pdf[hit]
+
+    return candidates.select("host_bucket", "url_hash").mapInPandas(
+        _probe, "host_bucket int, url_hash long"
+    )
+
+
+def bloom_probe_maybe_auto(
+    candidates: DataFrame,
+    blooms: DataFrame,
+    salt: int = spec.BLOOM_SALT,
+    bcast_max_bytes: int = spec.BLOOM_BCAST_MAX_BYTES,
+) -> DataFrame:
+    """D3 strategy pick: broadcast map-side probe while the sidecar fits
+    executor memory, cogrouped shuffle probe beyond it."""
+    if blooms_total_bytes(blooms) <= bcast_max_bytes:
+        return bloom_probe_maybe_bcast(candidates, blooms, salt=salt)
+    return bloom_probe_maybe(candidates, blooms, salt=salt)
 
 
 # ---------------------------------------------------------------------------

@@ -148,7 +148,7 @@ class CrawlEngine:
         # hash) is in the maybe-set: a superset of the true matches only by
         # hash collisions, still FP-rate sized, and the (hash, url) anti-
         # join below keeps exactness either way.
-        maybe_h = M.bloom_probe_maybe(disc, blooms, salt=spec.BLOOM_SALT).cache()
+        maybe_h = M.bloom_probe_maybe_auto(disc, blooms, salt=spec.BLOOM_SALT).cache()
         self._wave_caches.append(maybe_h)
         seen = self.store.read(self.spark, "seen")
         matches = seen.join(

@@ -106,6 +106,16 @@ BLOOM_MIN_SEEN: int = 500_000
 #: m keeps results bit-identical while parallelizing the hot bucket.
 BLOOM_SALT: int = 16
 
+#: sidecar-size threshold for the broadcast (map-side) bloom probe: at or
+#: under it the whole sidecar ships to each executor once and the probe
+#: pipelines with the frontier scan — no candidate shuffle at all; above it
+#: the cogrouped probe partitions blobs so no executor ever holds the whole
+#: sidecar.  256 MB = 10 bits/key over ~2×10^8 seen keys; comfortably inside
+#: a standard 4-8 GB executor alongside shuffle/cache, same sizing logic as
+#: a broadcast-join threshold.  The 10^10-seen regime (~12.5 GB sidecar)
+#: takes the cogroup path.
+BLOOM_BCAST_MAX_BYTES: int = 256 << 20
+
 #: per-bucket occupancy cap for every LSH band self-join (minhash, simhash,
 #: phash, hyperplane-ANN).  Within-bucket pair generation is quadratic in
 #: bucket occupancy; 16-bit bands give ≤65,536 buckets, so ONE pathological

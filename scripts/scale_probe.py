@@ -82,6 +82,15 @@ def main() -> None:
             .withColumn("salt", U.url_salt(F.col("url")))
         )
         n = c.agg(F.count("url"), F.max("url_hash"), F.max("salt")).collect()[0][0]
+    elif part == "jvm_full":
+        (
+            cand.withColumn("url", U.canonicalize_expr(F.col("url")))
+            .withColumn("url_hash", U.url_hash(F.col("url")))
+            .withColumn("host", U.host_of(F.col("url")))
+            .withColumn("host_bucket", U.host_bucket(F.col("host"), 64))
+            .withColumn("salt", U.url_salt(F.col("url")))
+        ).write.mode("overwrite").parquet(out)
+        n = -1
     elif part == "write_plain":
         cand.write.mode("overwrite").parquet(out)
         n = -1

@@ -175,3 +175,59 @@ def test_probe_empty_bloom_marks_all_new(spark):
     )
     out = M.bloom_prefilter(cand, blooms).collect()
     assert all(not r.maybe_seen for r in out)
+
+
+def test_bloom_probe_bits_multi_matches_single():
+    """The concatenated-sidecar probe kernel agrees bit-for-bit with the
+    single-filter kernel for every sub-filter it holds."""
+    rng = np.random.RandomState(11)
+    keys_a = rng.randint(-(2**62), 2**62, size=700).astype(np.int64)
+    keys_b = rng.randint(-(2**62), 2**62, size=90).astype(np.int64)
+    wa, ma = M.bloom_build_bits(keys_a)
+    wb, mb = M.bloom_build_bits(keys_b)
+    words = np.concatenate([wa, wb])
+    probes = np.concatenate([keys_a[:50], keys_b[:50], rng.randint(-(2**62), 2**62, size=200).astype(np.int64)])
+    # interleave: even probes hit filter A, odd hit filter B
+    off = np.where(np.arange(len(probes)) % 2 == 0, 0, len(wa)).astype(np.uint64)
+    m = np.where(np.arange(len(probes)) % 2 == 0, ma, mb).astype(np.uint64)
+    got = M.bloom_probe_bits_multi(probes, words, off, m, 7)
+    want_a = M.bloom_probe_bits(probes, wa, ma, 7)
+    want_b = M.bloom_probe_bits(probes, wb, mb, 7)
+    want = np.where(np.arange(len(probes)) % 2 == 0, want_a, want_b)
+    assert np.array_equal(got, want)
+
+
+def test_bloom_probe_bcast_parity_with_cogroup(spark):
+    """Broadcast (map-side) probe returns EXACTLY the cogrouped probe's
+    maybe-set — including negative hashes, where numpy's floored % must
+    match Spark's pmod — and the auto strategy is result-identical on both
+    sides of its size threshold."""
+    rng = np.random.RandomState(23)
+    seen_h = rng.randint(-(2**62), 2**62, size=3000).astype(np.int64)
+    seen_rows = [(int(h) % 8, int(h)) for h in seen_h]
+    seen = spark.createDataFrame(seen_rows, "host_bucket int, url_hash long")
+    cand_h = np.concatenate([seen_h[::2], rng.randint(-(2**62), 2**62, size=3000).astype(np.int64)])
+    cand = spark.createDataFrame(
+        [(int(h) % 8, int(h)) for h in cand_h], "host_bucket int, url_hash long"
+    )
+    blooms = M.build_blooms(seen).cache()
+    want = {(r.host_bucket, r.url_hash) for r in M.bloom_probe_maybe(cand, blooms).collect()}
+    got = {(r.host_bucket, r.url_hash) for r in M.bloom_probe_maybe_bcast(cand, blooms).collect()}
+    assert got == want
+    seen_keys = {(int(h) % 8, int(h)) for h in seen_h}
+    assert {(int(h) % 8, int(h)) for h in seen_h[::2]} <= got  # no false negatives
+    auto_small = {
+        (r.host_bucket, r.url_hash)
+        for r in M.bloom_probe_maybe_auto(cand, blooms, bcast_max_bytes=0).collect()
+    }
+    auto_big = {
+        (r.host_bucket, r.url_hash)
+        for r in M.bloom_probe_maybe_auto(cand, blooms, bcast_max_bytes=1 << 30).collect()
+    }
+    assert auto_small == want and auto_big == want
+
+
+def test_bloom_probe_bcast_empty_sidecar(spark):
+    cand = spark.createDataFrame([(0, 1), (1, 2)], "host_bucket int, url_hash long")
+    blooms = M.build_blooms(spark.createDataFrame([], "host_bucket int, url_hash long"))
+    assert M.bloom_probe_maybe_bcast(cand, blooms).count() == 0
