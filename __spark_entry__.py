@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 plus the training-data-pipeline ops (dedup / similarity / text /
 payload) and the judged crawl invariants (order / seen set / metrics /
-lineage).  Round 3: exactly 50 queries, 45 with DuckDB SQL oracles (see
+lineage).  Round 4: exactly 50 queries, 47 with DuckDB SQL oracles (see
 COVERAGE.md for the §2 row → query map).  The surface is capped at 50 on
 purpose: round 2's driver battery recorded 50 of 51 rows, dropping exactly
 the last dict entry, while round 1 recorded all 49 of 49 — consistent with a
@@ -15,10 +15,11 @@ Arrow-UDF paths are bit-identical per row.
 Crawl/payload queries run over a deterministic tiny fixture (seed=42,
 generated in /tmp on first use); their oracles are literal VALUES emitted by
 the independent pure-Python reference simulator and numpy codecs, so DuckDB
-still verifies them end-to-end.  Queries whose algorithm is not
-SQL-expressible (MinHash banding, SimHash, hyperplane LSH) ship without an
-oracle — the driver records rows-only, and tests/test_dedup_ops.py verifies
-them against exact brute-force instead.
+still verifies them end-to-end.  The MinHash-LSH and SimHash dedup queries
+get the same treatment in round 4 (independent per-document brute force +
+dict-of-buckets banding → literal VALUES), leaving only 3 rows-only queries
+(hyperplane-LSH ANN and cuckoo membership are FP-dependent; crawl lineage is
+store metadata) — each locked by exact brute-force/property tests instead.
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ def _assemble() -> dict[str, tuple]:
         q.update(relational.QUERIES)
         q.update(textops.QUERIES)
         q.update(simops.QUERIES)
-        q.update(dedupops.QUERIES)
+        q.update(dedupops.QUERIES())
         q.update(crawlops.QUERIES())
         q.update(payloadops.QUERIES())
         _ASSEMBLED = q

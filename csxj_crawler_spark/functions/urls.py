@@ -82,9 +82,24 @@ def _canon_arrow(s: pd.Series) -> pd.Series:
     a = pc.replace_substring_regex(
         a, pattern=rf"(?:{_TRACK_PAIR}&)+", replacement=""
     )
-    a = pc.replace_substring_regex(
-        a, pattern=rf"[?&](?:{_TRACK_PAIR})($|&)", replacement=r"\1"
-    )
+    # 4b. trailing-context form.  The pandas/JVM rule uses a lookahead
+    # (`(?=$|&)`), which does NOT consume the following `&`, so a CHAIN of
+    # adjacent pairs (`&utm_a=1&utm_b=2&x`) is fully removed in one pass.
+    # RE2 has no lookahead; the consuming rewrite (`($|&)` -> `\1`) eats the
+    # `&` and skips every other pair in a chain (and pass 4a's removals can
+    # SPLICE new adjacent pairs, e.g. `?ututm_a=1&m_y=1&...`).  Loop the
+    # consuming pass to a fixpoint: a chain of k pairs converges in <=k
+    # iterations, and each iteration only removes strings the lookahead rule
+    # would also remove, so the fixpoint is bit-identical to the
+    # pandas/JVM single lookahead pass (differential-tested incl. a
+    # u/t/m-bearing alphabet in tests/test_urls.py).
+    pat_4b = rf"[?&](?:{_TRACK_PAIR})($|&)"
+    while True:
+        b = pc.replace_substring_regex(a, pattern=pat_4b, replacement=r"\1")
+        if pc.all(pc.equal(b, a)).as_py() is not False:
+            a = b
+            break
+        a = b
     a = pc.replace_substring_regex(a, pattern=r"\?&", replacement="?")
     a = pc.replace_substring_regex(a, pattern=r"[?&]$", replacement="")
     # 5. ensure non-empty path before ? or end

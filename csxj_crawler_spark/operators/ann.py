@@ -32,9 +32,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 IVF_K = 16
 IVF_ITERS = 5
@@ -185,4 +185,82 @@ def search_topk(
         .orderBy(F.desc("raw_cos"), id_col)
         .limit(topk)
         .select(id_col, "cluster_id", F.round("raw_cos", 6).alias("cosine"))
+    )
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """Pandas UDF: each query's ``nprobe`` nearest centroid ids (one matmul
+    per Arrow batch; ties to the lower cluster id — same order as
+    :func:`probe_clusters`, parity-tested)."""
+    cT = np.ascontiguousarray(_normalize_rows(centroids).T)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = _normalize_rows(np.stack(emb.to_numpy()).astype(np.float64))
+        idx = np.argsort(-(m @ cT), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return probe
+
+
+def search_topk_batch(
+    index: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch form of :func:`search_topk`: score a TABLE of queries (a
+    production pipeline probes millions, not one) in a single plan.
+
+    Shape: probe assignment is the same per-batch matmul UDF as indexing
+    (centroids ride the closure broadcast), exploded to one
+    ``(query_id, cluster_id)`` row per probed list, then an equi-join on
+    ``cluster_id`` against the index.  With ``broadcast_queries`` (the
+    common case — queries ≪ index) the join is broadcast-hash on the
+    query side, so the index streams ONCE with no shuffle, and on a
+    ``partitionBy('cluster_id')`` table Spark's dynamic partition pruning
+    skips unprobed lists at the file level (asserted in tests/test_ann.py).
+    For query tables too big to broadcast, pass ``False`` — both sides
+    hash-shuffle on ``cluster_id``, which the index layout co-locates.
+    Scoring stays JVM-side (``zip_with``/``aggregate``); per-query top-k is
+    a window over the probed candidates only."""
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            qv.alias("_q"),
+            _probe_udf(centroids, nprobe)(qv).alias("_probes"),
+        )
+        .select("query_id", "_q", F.explode("_probes").alias("cluster_id"))
+    )
+    qj = F.broadcast(q) if broadcast_queries else q
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, F.col("_q"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    qn = F.sqrt(
+        F.aggregate(F.col("_q"), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"), id_col)
+    return (
+        index.join(qj, "cluster_id")
+        .withColumn("raw_cos", dot / (vn * qn))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= topk)
+        .select(
+            "query_id", id_col, "cluster_id",
+            F.round("raw_cos", 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
     )

@@ -95,7 +95,13 @@ def extract_audio_features(clips: DataFrame, frame: int = 1024) -> DataFrame:
                     samples, rate = A.AUDIO_DECODERS[r.fmt](bytes(r.bytes))
                     feats = A.audio_features(samples, rate, frame=frame)
                     rows.append((r.clip_id, True, *feats.values()))
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, NotImplementedError):
+                    # NotImplementedError here is a KNOWN container with an
+                    # unsupported encoding (IEEE-float / 24-bit / a-law WAV —
+                    # common in the wild): per the error-row policy that is a
+                    # decode_ok=false row, not a job abort.  The registry-miss
+                    # raise above (unknown fmt entirely) stays fatal — that is
+                    # the plug-in point, not a data condition.
                     rows.append((r.clip_id, False, 0.0, 0.0, 0.0, 0.0, 0.0))
             yield pd.DataFrame(
                 rows,
@@ -136,7 +142,14 @@ def sample_video_frames(videos: DataFrame, every_n: int = 5) -> DataFrame:
                     raise NotImplementedError(
                         f"no decoder for video fmt={r.fmt!r} in this environment"
                     )
-                frames = VIDEO_DECODERS[r.fmt](bytes(r.bytes))
+                try:
+                    frames = VIDEO_DECODERS[r.fmt](bytes(r.bytes))
+                except (ValueError, struct.error):
+                    # truncated / corrupt blob of a KNOWN format: error row
+                    # (frame_idx=-1, fmt='error', no bytes), same policy as
+                    # the audio path — one bad payload must not abort the job
+                    rows.append((r.video_id, -1, None, 0, 0, "error"))
+                    continue
                 n, h, w, _ = frames.shape
                 for idx in range(0, n, every_n):
                     rows.append(

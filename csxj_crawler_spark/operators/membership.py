@@ -281,8 +281,21 @@ def blooms_total_bytes(blooms: DataFrame) -> int:
     return int(row["b"] or 0)
 
 
+def _driver_mem_bytes(spark) -> int:
+    """Configured driver heap in bytes (the JVM the collect lands in)."""
+    raw = (spark.conf.get("spark.driver.memory", "1g") or "1g").strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    return int(raw)  # plain bytes
+
+
 def bloom_probe_maybe_bcast(
-    candidates: DataFrame, blooms: DataFrame, salt: int = spec.BLOOM_SALT
+    candidates: DataFrame,
+    blooms: DataFrame,
+    salt: int = spec.BLOOM_SALT,
+    max_bytes: int | None = None,
+    known_total_bytes: int | None = None,
 ) -> DataFrame:
     """D3, broadcast form: same contract as :func:`bloom_probe_maybe` — the
     FP-rate-sized ``(host_bucket, url_hash)`` maybe-set — but as a MAP-SIDE
@@ -302,9 +315,24 @@ def bloom_probe_maybe_bcast(
     All sub-filters are concatenated into ONE flat uint64 array with per-
     (bucket, salt) offsets, so a mixed-group batch probes in one vectorized
     gather (:func:`bloom_probe_bits_multi`) — no per-group Python loop.
+
+    Driver-memory guard: the collect materializes the blobs plus the
+    concatenated array plus the broadcast copy (~3× the sidecar) in the
+    DRIVER heap, so a sidecar above ``max_bytes`` (default: 1/8 of
+    ``spark.driver.memory``) falls back to the cogrouped shuffle probe
+    instead of OOMing the driver — same contract, never collects.
     """
-    rows = blooms.select("host_bucket", "salt", "n", "m", "k", "bloom").collect()
     spark = candidates.sparkSession
+    if max_bytes is None:
+        max_bytes = _driver_mem_bytes(spark) // 8
+    total = (
+        known_total_bytes
+        if known_total_bytes is not None
+        else blooms_total_bytes(blooms)
+    )
+    if total > max_bytes:
+        return bloom_probe_maybe(candidates, blooms, salt=salt)
+    rows = blooms.select("host_bucket", "salt", "n", "m", "k", "bloom").collect()
     if not rows:
         return spark.createDataFrame([], "host_bucket int, url_hash long")
     k = int(rows[0]["k"])
@@ -354,9 +382,14 @@ def bloom_probe_maybe_auto(
     bcast_max_bytes: int = spec.BLOOM_BCAST_MAX_BYTES,
 ) -> DataFrame:
     """D3 strategy pick: broadcast map-side probe while the sidecar fits
-    executor memory, cogrouped shuffle probe beyond it."""
-    if blooms_total_bytes(blooms) <= bcast_max_bytes:
-        return bloom_probe_maybe_bcast(candidates, blooms, salt=salt)
+    executor memory (and driver headroom — the bcast path re-checks its own
+    guard without re-running the metadata aggregate), cogrouped shuffle
+    probe beyond it."""
+    total = blooms_total_bytes(blooms)
+    if total <= bcast_max_bytes:
+        return bloom_probe_maybe_bcast(
+            candidates, blooms, salt=salt, known_total_bytes=total
+        )
     return bloom_probe_maybe(candidates, blooms, salt=salt)
 
 
@@ -494,3 +527,164 @@ class CuckooFilter:
         obj.table = table
         obj._rng = np.random.RandomState(seed)
         return obj
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo sidecar as a Spark table (D5 WIRED): same partitioned-(bucket, salt)
+# layout and narrow probe contract as the bloom sidecar, plus the one thing
+# blooms cannot do — O(delta) DELETION.  This is the engine's fallback
+# seen-filter for retraction-heavy crawls (frontier retractions on robots/
+# policy change): a bloom sidecar must be rebuilt from the full seen table
+# after any retraction, a cuckoo sidecar deletes just the retracted
+# fingerprints.  Exactness is unaffected either way (the sidecar is a
+# prefilter; the (url_hash, url) anti-join stays exact) — parity-tested in
+# tests/test_retraction.py.
+# ---------------------------------------------------------------------------
+
+CUCKOO_SCHEMA = (
+    "host_bucket int, salt int, n long, capacity long, table binary"
+)
+#: a fresh sub-filter is sized with 2× headroom so several waves of deltas
+#: insert in place (amortized-doubling, like compaction); the engine
+#: full-rebuilds a group whose live count approaches capacity
+CUCKOO_HEADROOM = 2.0
+
+
+def build_cuckoos(
+    seen: DataFrame, hash_col: str = "url_hash", salt: int = spec.BLOOM_SALT
+) -> DataFrame:
+    """Full build: one cuckoo sub-filter per (host_bucket, hash%salt), the
+    same uniform-load fan-out as :func:`build_blooms`."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf[hash_col].to_numpy()
+        cap = max(64, int(len(hashes) * CUCKOO_HEADROOM))
+        cf = CuckooFilter(capacity=cap)
+        ins = cf.insert_many(hashes)
+        if ins < len(hashes):  # cannot happen at 2x headroom; hard-fail > FN
+            raise RuntimeError("cuckoo full build overflow")
+        return pd.DataFrame(
+            {
+                "host_bucket": [int(pdf["host_bucket"].iloc[0])],
+                "salt": [int(pdf["_csalt"].iloc[0])],
+                "n": [len(hashes)],
+                "capacity": [cap],
+                "table": [cf.to_bytes()],
+            }
+        )
+
+    sub = seen.select("host_bucket", hash_col).withColumn(
+        "_csalt", F.pmod(F.col(hash_col), F.lit(max(1, salt))).cast("int")
+    )
+    return sub.groupBy("host_bucket", "_csalt").applyInPandas(_build, CUCKOO_SCHEMA)
+
+
+def cuckoo_probe_maybe(
+    candidates: DataFrame, cuckoos: DataFrame, salt: int = spec.BLOOM_SALT
+) -> DataFrame:
+    """Narrow 'maybe seen' probe — the exact contract of
+    :func:`bloom_probe_maybe` (cuckoo filters false-positive at the
+    fingerprint-collision rate, never false-negative for inserted keys), so
+    the engine's ``_dedup_new`` plan is sidecar-kind agnostic."""
+
+    def _probe(cand: pd.DataFrame, tbl: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0 or len(tbl) == 0:
+            return pd.DataFrame(
+                {"host_bucket": pd.Series([], dtype="int32"),
+                 "url_hash": pd.Series([], dtype="int64")}
+            )
+        cf = CuckooFilter.from_bytes(tbl["table"].iloc[0])
+        hit = cf.contains_many(cand["url_hash"].to_numpy())
+        return cand[hit][["host_bucket", "url_hash"]]
+
+    cand_s = candidates.select("host_bucket", "url_hash").withColumn(
+        "_psalt", F.pmod(F.col("url_hash"), F.lit(max(1, salt))).cast("int")
+    )
+    return (
+        cand_s.groupBy("host_bucket", "_psalt")
+        .cogroup(cuckoos.groupBy("host_bucket", "salt"))
+        .applyInPandas(_probe, "host_bucket int, url_hash long")
+    )
+
+
+def cuckoo_update(
+    cuckoos: DataFrame,
+    adds: DataFrame | None = None,
+    dels: DataFrame | None = None,
+    salt: int = spec.BLOOM_SALT,
+) -> DataFrame:
+    """O(delta) sidecar maintenance: cogroup the (wave-sized) delta rows with
+    their (bucket, salt) sub-filter, ``insert_many`` the additions and
+    ``delete_many`` the retractions in place.
+
+    Deletion precondition (the public cuckoo-filter rule): every deleted key
+    MUST have been inserted — the engine guarantees it by semi-joining
+    retractions against the seen table first.  A group seen only in the
+    delta (no existing sub-filter) gets a fresh filter; a group whose
+    additions no longer fit emits ``ok = false`` and the engine falls back
+    to a full rebuild of the sidecar (never a silent false-negative).
+    Output schema = CUCKOO_SCHEMA + ``ok boolean``; shuffle cost is
+    O(sidecar bytes + delta rows) — vs the bloom path's full re-read of the
+    seen table on any retraction."""
+    spark = cuckoos.sparkSession
+    empty = "host_bucket int, url_hash long, _op int"
+    deltas = []
+    if adds is not None:
+        deltas.append(
+            adds.select("host_bucket", "url_hash").withColumn("_op", F.lit(1))
+        )
+    if dels is not None:
+        deltas.append(
+            dels.select("host_bucket", "url_hash").withColumn("_op", F.lit(-1))
+        )
+    delta = (
+        deltas[0] if len(deltas) == 1
+        else deltas[0].unionByName(deltas[1]) if deltas
+        else spark.createDataFrame([], empty)
+    )
+    out_schema = CUCKOO_SCHEMA + ", ok boolean"
+
+    def _update(d: pd.DataFrame, tbl: pd.DataFrame) -> pd.DataFrame:
+        if len(tbl) == 0:
+            if len(d) == 0:
+                return pd.DataFrame(
+                    columns=["host_bucket", "salt", "n", "capacity", "table", "ok"]
+                ).astype({"host_bucket": "int32", "salt": "int32", "n": "int64",
+                          "capacity": "int64", "ok": "bool"})
+            ins_h = d.loc[d["_op"] > 0, "url_hash"].to_numpy()
+            cap = max(64, int(len(ins_h) * CUCKOO_HEADROOM))
+            cf = CuckooFilter(capacity=cap)
+            ok = cf.insert_many(ins_h) == len(ins_h)
+            bucket = int(d["host_bucket"].iloc[0])
+            s = int(d["_dsalt"].iloc[0])
+            return pd.DataFrame(
+                {"host_bucket": [bucket], "salt": [s], "n": [len(ins_h)],
+                 "capacity": [cap], "table": [cf.to_bytes()], "ok": [ok]}
+            )
+        row = tbl.iloc[0]
+        cf = CuckooFilter.from_bytes(row["table"])
+        n = int(row["n"])
+        ok = True
+        if len(d):
+            del_h = d.loc[d["_op"] < 0, "url_hash"].to_numpy()
+            if len(del_h):
+                n -= cf.delete_many(del_h)
+            ins_h = d.loc[d["_op"] > 0, "url_hash"].to_numpy()
+            if len(ins_h):
+                done = cf.insert_many(ins_h)
+                n += done
+                ok = done == len(ins_h)
+        return pd.DataFrame(
+            {"host_bucket": [int(row["host_bucket"])], "salt": [int(row["salt"])],
+             "n": [n], "capacity": [int(row["capacity"])],
+             "table": [cf.to_bytes()], "ok": [ok]}
+        )
+
+    delta_s = delta.withColumn(
+        "_dsalt", F.pmod(F.col("url_hash"), F.lit(max(1, salt))).cast("int")
+    )
+    return (
+        delta_s.groupBy("host_bucket", "_dsalt")
+        .cogroup(cuckoos.groupBy("host_bucket", "salt"))
+        .applyInPandas(_update, out_schema)
+    )

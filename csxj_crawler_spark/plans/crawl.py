@@ -74,6 +74,7 @@ class CrawlEngine:
         wave_budget: int = spec.WAVE_URL_BUDGET,
         use_pandas_canon: bool = False,
         use_bloom: bool = True,
+        seen_filter: str | None = None,
         salt: int = spec.DEFAULT_SALT,
         bloom_min_seen: int = spec.BLOOM_MIN_SEEN,
         priority_decay: float | None = spec.DEFAULT_PRIORITY_DECAY,
@@ -83,9 +84,20 @@ class CrawlEngine:
         self.n_buckets = n_buckets
         self.wave_budget = wave_budget
         self.use_pandas_canon = use_pandas_canon
-        #: bloom-backed seen set (D2-D4): per-bucket blobs prefilter
-        #: discoveries so the exact anti-join only sees 'maybe seen' rows
-        self.use_bloom = use_bloom
+        #: sidecar-backed seen set (D2-D5): per-(bucket, salt) filter blobs
+        #: prefilter discoveries so the exact anti-join only sees 'maybe
+        #: seen' rows.  ``seen_filter`` picks the kind — "bloom" (default:
+        #: smallest blobs, O(delta) merge, but retraction = full rebuild) or
+        #: "cuckoo" (the north_star's FALLBACK: ~4x the bytes, but frontier
+        #: retractions delete fingerprints in O(delta) instead of re-reading
+        #: the whole seen table) or "none".  ``use_bloom=False`` maps to
+        #: "none" for backward compatibility.
+        if seen_filter is None:
+            seen_filter = "bloom" if use_bloom else "none"
+        if seen_filter not in ("bloom", "cuckoo", "none"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo|none: {seen_filter}")
+        self.seen_filter = seen_filter
+        self.use_bloom = seen_filter != "none"
         #: below this many seen rows the bloom sidecar is pure overhead (the
         #: exact anti-join broadcasts the small seen side anyway; measured
         #: ~25% slower bloom-ON at bench scale) — auto-disable under it.
@@ -135,8 +147,8 @@ class CrawlEngine:
           10^10-row side of a plain left_anti.
         """
         keys = ["url_hash", "url"]
-        blooms = self._blooms() if self.use_bloom else None
-        if blooms is None:
+        sidecar = self._sidecar() if self.use_bloom else None
+        if sidecar is None:
             seen = self.store.read(self.spark, "seen")
             if seen is None:
                 return disc
@@ -148,7 +160,11 @@ class CrawlEngine:
         # hash) is in the maybe-set: a superset of the true matches only by
         # hash collisions, still FP-rate sized, and the (hash, url) anti-
         # join below keeps exactness either way.
-        maybe_h = M.bloom_probe_maybe_auto(disc, blooms, salt=spec.BLOOM_SALT).cache()
+        maybe_h = (
+            M.bloom_probe_maybe_auto(disc, sidecar, salt=spec.BLOOM_SALT)
+            if self.seen_filter == "bloom"
+            else M.cuckoo_probe_maybe(disc, sidecar, salt=spec.BLOOM_SALT)
+        ).cache()
         self._wave_caches.append(maybe_h)
         seen = self.store.read(self.spark, "seen")
         matches = seen.join(
@@ -170,10 +186,15 @@ class CrawlEngine:
             "bloom_salt": spec.BLOOM_SALT,
         }
 
-    def _blooms(self) -> DataFrame | None:
-        """Current bloom blobs, or None when absent/stale/below-threshold.
+    @property
+    def _sidecar_table(self) -> str:
+        return "blooms" if self.seen_filter == "bloom" else "cuckoos"
 
-        Validity invariant: a bloom commit is stamped with the seen
+    def _sidecar(self) -> DataFrame | None:
+        """Current sidecar blobs (bloom or cuckoo), or None when absent/
+        stale/below-threshold.
+
+        Validity invariant: a sidecar commit is stamped with the seen
         snapshot's (content_id, row count); both matching ⇒ the blobs cover
         exactly the live seen rows ⇒ no false negatives (compaction
         preserves content_id, so it does not invalidate)."""
@@ -181,25 +202,28 @@ class CrawlEngine:
         if seen_rows < self.bloom_min_seen:
             return None
         stamp = self._seen_stamp()
-        man = self.store.manifest("blooms")
+        tbl = self._sidecar_table
+        man = self.store.manifest(tbl)
         if man is not None and all(
             man["meta"].get(k) == v for k, v in stamp.items()
         ):
-            return self.store.read(self.spark, "blooms")
+            return self.store.read(self.spark, tbl)
         seen = self.store.read(self.spark, "seen")
         if seen is None:
             return None
         self.store.commit(
-            self._full_bloom_build(seen), "blooms", mode="overwrite", meta=stamp
+            self._full_sidecar_build(seen), tbl, mode="overwrite", meta=stamp
         )
-        return self.store.read(self.spark, "blooms")
+        return self.store.read(self.spark, tbl)
 
-    def _full_bloom_build(self, seen: DataFrame) -> DataFrame:
+    def _full_sidecar_build(self, seen: DataFrame) -> DataFrame:
         """Full build: one sub-filter per (host_bucket, hash%salt), each
         sized to its own key count — uniform tasks under host skew."""
+        if self.seen_filter == "cuckoo":
+            return M.build_cuckoos(seen, salt=spec.BLOOM_SALT)
         return M.build_blooms(seen, salt=spec.BLOOM_SALT)
 
-    def _update_blooms(self, new: DataFrame, pre_stamp: dict | None = None) -> None:
+    def _update_sidecar(self, new: DataFrame, pre_stamp: dict | None = None) -> None:
         """Fold the just-committed discoveries into the per-bucket blobs (D4)
         and stamp the covered seen snapshot.
 
@@ -224,17 +248,21 @@ class CrawlEngine:
         if seen_rows < self.bloom_min_seen:
             return
         stamp = self._seen_stamp()
-        prev_man = self.store.manifest("blooms")
-        prev = self.store.read(self.spark, "blooms")
+        tbl = self._sidecar_table
+        prev_man = self.store.manifest(tbl)
+        prev = self.store.read(self.spark, tbl)
         if prev is not None and pre_stamp is not None:
             if any(prev_man["meta"].get(k) != v for k, v in pre_stamp.items()):
                 prev = None  # stale/foreign sidecar: full rebuild below
         if prev is None:
             # first crossing of the threshold: size to the full seen set
             self.store.commit(
-                self._full_bloom_build(self.store.read(self.spark, "seen")),
-                "blooms", mode="overwrite", meta=stamp,
+                self._full_sidecar_build(self.store.read(self.spark, "seen")),
+                tbl, mode="overwrite", meta=stamp,
             )
+            return
+        if self.seen_filter == "cuckoo":
+            self._cuckoo_delta(prev, new, stamp)
             return
         # tiny driver-side metadata reads: (bucket, salt, n, m) without
         # blobs, and per-sub-filter delta counts of the wave-sized `new`
@@ -260,7 +288,7 @@ class CrawlEngine:
         )
         if overflow:
             self.store.commit(
-                self._full_bloom_build(self.store.read(self.spark, "seen")),
+                self._full_sidecar_build(self.store.read(self.spark, "seen")),
                 "blooms", mode="overwrite", meta=stamp,
             )
             return
@@ -271,6 +299,123 @@ class CrawlEngine:
         delta = M.build_blooms(new, min_m_by_key=mins, salt=spec.BLOOM_SALT)
         merged = M.merge_blooms(delta.unionByName(prev.select(*delta.columns)))
         self.store.commit(merged, "blooms", mode="overwrite", meta=stamp)
+
+    def _cuckoo_delta(self, prev: DataFrame, new: DataFrame, stamp: dict) -> None:
+        """O(delta) cuckoo sidecar maintenance: occupancy pre-check from the
+        tiny (bucket, salt, n, capacity) metadata + wave-sized delta counts
+        (the same driver-side arithmetic as the bloom overflow check), then
+        an in-place cogrouped insert.  Any group that would outgrow its
+        capacity — or reports a failed insert (``ok = false``) — falls back
+        to a full rebuild from seen; never a silent false negative."""
+        prev_nc = {
+            (r["host_bucket"], r["salt"]): (int(r["n"]), int(r["capacity"]))
+            for r in prev.select("host_bucket", "salt", "n", "capacity").collect()
+        }
+        delta_n = {
+            (r["host_bucket"], r["salt"]): int(r["cnt"])
+            for r in new.groupBy(
+                "host_bucket",
+                F.pmod(F.col("url_hash"), F.lit(spec.BLOOM_SALT))
+                .cast("int")
+                .alias("salt"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        # fill to ~95% of capacity at most (4-slot cuckoo tables insert
+        # reliably below that); beyond → rebuild with fresh 2x headroom
+        overflow = any(
+            key in prev_nc
+            and (prev_nc[key][0] + c) > 0.95 * prev_nc[key][1] * 1.25
+            for key, c in delta_n.items()
+        )
+        if overflow:
+            self.store.commit(
+                self._full_sidecar_build(self.store.read(self.spark, "seen")),
+                "cuckoos", mode="overwrite", meta=stamp,
+            )
+            return
+        upd = M.cuckoo_update(prev, adds=new, salt=spec.BLOOM_SALT).cache()
+        bad = upd.filter(~F.col("ok")).limit(1).count() > 0
+        if bad:
+            self.store.commit(
+                self._full_sidecar_build(self.store.read(self.spark, "seen")),
+                "cuckoos", mode="overwrite", meta=stamp,
+            )
+        else:
+            self.store.commit(upd.drop("ok"), "cuckoos", mode="overwrite", meta=stamp)
+        upd.unpersist()
+
+    def retract(self, urls: DataFrame) -> int:
+        """Frontier retraction (robots/policy change recalls URLs): remove
+        the given URLs from the ``queued`` frontier AND from the ``seen``
+        set in one atomic transaction, then repair the seen-filter sidecar.
+
+        This is the operation the north_star's "(fallback cuckoo)" exists
+        for: with ``seen_filter="cuckoo"`` the sidecar DELETES exactly the
+        retracted fingerprints in O(delta) (cuckoo deletion precondition —
+        delete only inserted keys — is guaranteed by semi-joining the batch
+        against seen first); with "bloom" the stamp mismatch forces a full
+        sidecar rebuild from the seen table on next use, because bloom bits
+        cannot be un-set.  Either way exactness is untouched (the sidecar is
+        a prefilter; parity-tested in tests/test_retraction.py).  Returns
+        the number of frontier rows retracted."""
+        man_q = self.store.manifest("queued")
+        if man_q is None:
+            return 0
+        r = (
+            self._frontier_cols(
+                urls.select(self._canon(F.col("url")).alias("url"))
+            )
+            .select("url", "url_hash", "host_bucket")
+            .dropDuplicates(["url_hash", "url"])
+            .cache()
+        )
+        r.count()  # materialize: the lazy plan must not straddle the commit
+        keys = ["url_hash", "url"]
+        queued = self.store.read(self.spark, "queued")
+        seen = self.store.read(self.spark, "seen")
+        pre_q = self.store.row_count("queued") or 0
+        pre_stamp = self._seen_stamp()
+        dels = None
+        if self.seen_filter == "cuckoo" and seen is not None:
+            dels = (
+                seen.join(F.broadcast(r), keys, "left_semi")
+                .select("host_bucket", "url_hash")
+                .cache()
+            )
+            dels.count()  # materialize against the PRE-retraction snapshot
+        txn = self.store.transaction()
+        if queued is not None:
+            txn.stage(
+                queued.join(F.broadcast(r.select(*keys)), keys, "left_anti"),
+                "queued", mode="overwrite", partition_by=["host_bucket"],
+                meta=man_q["meta"],
+            )
+        if seen is not None:
+            man_s = self.store.manifest("seen")
+            txn.stage(
+                seen.join(F.broadcast(r.select(*keys)), keys, "left_anti"),
+                "seen", mode="overwrite", partition_by=["host_bucket"],
+                meta=dict(man_s["meta"], retracted=True),
+            )
+        txn.commit(meta=dict(man_q["meta"], retracted=True))
+        if dels is not None:
+            stamp = self._seen_stamp()  # post-retraction snapshot identity
+            prev_man = self.store.manifest("cuckoos")
+            prev = self.store.read(self.spark, "cuckoos")
+            if prev is not None and all(
+                prev_man["meta"].get(k) == v for k, v in pre_stamp.items()
+            ):
+                upd = M.cuckoo_update(prev, dels=dels, salt=spec.BLOOM_SALT)
+                self.store.commit(
+                    upd.drop("ok"), "cuckoos", mode="overwrite", meta=stamp
+                )
+            # else: stale/absent sidecar — next _sidecar() rebuilds from seen
+            dels.unpersist()
+        r.unpersist()
+        post_q = self.store.row_count("queued") or 0
+        return pre_q - post_q
 
     # -- bootstrap (wave-0 frontier from the shared seed list) ---------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -371,7 +516,7 @@ class CrawlEngine:
             f.get("rows", 0) for f in seen_man["files"][-seen_man["new_files"]:]
         ) if seen_man["new_files"] else 0
         if n_new > 0:
-            self._update_blooms(new, pre_stamp)
+            self._update_sidecar(new, pre_stamp)
         for c in self._wave_caches:
             c.unpersist()
         self._wave_caches = []
@@ -617,7 +762,7 @@ class CrawlEngine:
         )
         # stamp of the seen snapshot the current bloom sidecar should cover
         # (current_version is still pre-wave: stage() publishes nothing) —
-        # _update_blooms validates the prev sidecar against it, so a sidecar
+        # _update_sidecar validates the prev sidecar against it, so a sidecar
         # from a diverged history (e.g. a store reopened with a different
         # bloom_min_seen) full-rebuilds instead of being delta-merged into
         # false negatives.
@@ -626,7 +771,7 @@ class CrawlEngine:
         if urls_new > 0:
             # bloom sidecar updates OUTSIDE the txn: it is self-healing (a
             # stale sidecar is detected by its stamp and rebuilt from seen)
-            self._update_blooms(new, pre_stamp)
+            self._update_sidecar(new, pre_stamp)
         # amortized maintenance: keep append-heavy tables' file counts bounded
         if self.store.file_count("seen") > self.compact_files:
             self.store.compact(spark, "seen", partition_by=["host_bucket"])

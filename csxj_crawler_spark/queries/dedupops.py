@@ -31,19 +31,23 @@ _A = (np.arange(1, N_HASHES + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15
 _B = np.arange(N_HASHES, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
+def _shingle_list(text: str) -> list[str]:
     toks = text.split()
     if len(toks) < 3:
-        sh = [" ".join(toks)] if toks else []
-    else:
-        sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    sh = _shingle_list(text)
     if not sh:
         return np.zeros(0, dtype=np.uint64)
     return pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def minhash_sig(texts: pd.Series) -> pd.Series:
+def _minhash_sig_perdoc(texts: pd.Series) -> pd.Series:
+    """Per-document reference implementation (round ≤3 shape) — kept ONLY as
+    the bit-parity counterpart of the whole-batch path in tests."""
     out = []
     for t in texts.fillna(""):
         h = _shingle_hashes(t)
@@ -54,6 +58,63 @@ def minhash_sig(texts: pd.Series) -> pd.Series:
         vals = (h[:, None] * _A[None, :] + _B[None, :]) % _P
         out.append(vals.min(axis=0).astype(np.int64).tolist())
     return pd.Series(out)
+
+
+#: docs are chunked so the transient (shingles × 64) uint64 matrix stays
+#: L2-resident (~1 MB): the affine+modulo pass is memory-bound, and measured
+#: on this host a 2048-shingle chunk runs it 13× faster than a 128k-shingle
+#: chunk that streams a 64 MB matrix through RAM three times
+_MINHASH_CHUNK_SHINGLES = 2048
+
+
+def _minhash_sig_batch(texts: pd.Series) -> pd.Series:
+    """Whole-batch vectorized MinHash (the r3 verdict's ask — same treatment
+    ``simhash64`` got): ALL shingles of the Arrow batch are flattened into one
+    array and hashed with a single ``pd.util.hash_array`` call; per-document
+    column minima come from ``np.minimum.reduceat`` over the
+    (shingle × N_HASHES) affine matrix.  Empty documents are excluded from
+    the reduceat boundary list (an empty segment would alias its neighbor)
+    and backfilled with the zero signature.  Bit-identical to
+    :func:`_minhash_sig_perdoc` (parity test in tests/test_dedup_ops.py)."""
+    n = len(texts)
+    sh_per_doc = [_shingle_list(t) for t in texts.fillna("")]
+    lens = np.array([len(s) for s in sh_per_doc], dtype=np.int64)
+    out = np.zeros((n, N_HASHES), dtype=np.int64)
+    total = int(lens.sum())
+    if total:
+        all_sh = np.asarray(
+            [s for doc in sh_per_doc for s in doc], dtype=object
+        )
+        h = pd.util.hash_array(all_sh).astype(np.uint64)
+        doc_ends = np.cumsum(lens)
+        doc_starts = doc_ends - lens
+        c0 = 0
+        while c0 < n:
+            # grow the doc range until its shingle span hits the chunk cap
+            # (always >= 1 doc, so a single huge doc still goes through)
+            c1 = c0 + 1
+            while (
+                c1 < n
+                and doc_ends[c1] - doc_starts[c0] <= _MINHASH_CHUNK_SHINGLES
+            ):
+                c1 += 1
+            s0, s1 = int(doc_starts[c0]), int(doc_ends[c1 - 1])
+            nz = c0 + np.flatnonzero(lens[c0:c1] > 0)
+            if s1 > s0 and len(nz):
+                hh = h[s0:s1]
+                vals = hh[:, None] * _A[None, :]  # (shingles, 64), wraps mod 2^64
+                vals += _B[None, :]
+                vals %= _P
+                rel = (doc_starts[nz] - s0).astype(np.int64)
+                mins = np.minimum.reduceat(vals, rel, axis=0)
+                out[nz] = mins.astype(np.int64)
+            c0 = c1
+    return pd.Series(list(out))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_sig(texts: pd.Series) -> pd.Series:
+    return _minhash_sig_batch(texts)
 
 
 @F.pandas_udf(LongType())
@@ -178,36 +239,142 @@ def q_dedup_simhash(spark, sf_dir) -> DataFrame:
 
 
 def q_membership_cuckoo(spark, sf_dir) -> DataFrame:
-    """D5 cuckoo-filter membership over document fingerprints: build one
-    filter per bucket from the even half, probe the odd half, return probed
-    rows flagged maybe-present.  Deletion support is what distinguishes the
-    cuckoo path (frontier retractions); no SQL oracle — the filter's exact
-    no-false-negative contract is verified in tests/test_membership.py."""
-    from csxj_crawler_spark.operators.membership import CuckooFilter
+    """D5 — the engine's WIRED cuckoo sidecar path (``seen_filter="cuckoo"``:
+    build_cuckoos → cuckoo_update(dels=retraction batch) → cuckoo_probe_maybe,
+    the exact operators CrawlEngine.retract/_dedup_new call): build a
+    per-(bucket, salt) sidecar over the even half of document fingerprints,
+    DELETE the multiples of 4 (a retraction), probe everything, and return
+    the definitely-new doc_ids.  Deterministic but FP-dependent, so no SQL
+    oracle — the no-false-negative and delete-exactness contracts are locked
+    by tests/test_membership.py and tests/test_retraction.py."""
+    from csxj_crawler_spark.operators import membership as M
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.xxhash64("text").alias("h"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("bucket"),
+        F.xxhash64("text").alias("url_hash"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").alias("host_bucket"),
         F.col("doc_id"),
     )
-    def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = pdf[pdf["h"] % 2 == 0]
-        p = pdf[pdf["h"] % 2 != 0]
-        cf = CuckooFilter(capacity=max(64, len(b)))
-        if len(b):
-            cf.insert_many(b["h"].to_numpy())
-        hit = cf.contains_many(p["h"].to_numpy()) if len(p) else []
-        return pd.DataFrame({"doc_id": p["doc_id"], "maybe_present": list(hit)})
-
+    evens = d.filter(F.pmod(F.col("url_hash"), F.lit(2)) == 0)
+    sidecar = M.build_cuckoos(evens)
+    dels = evens.filter(F.pmod(F.col("url_hash"), F.lit(4)) == 0)
+    upd = M.cuckoo_update(sidecar, dels=dels).drop("ok")
+    maybe = M.cuckoo_probe_maybe(d, upd)
     return (
-        d.groupBy("bucket")
-        .applyInPandas(_per_bucket, "doc_id long, maybe_present boolean")
-        .filter("NOT maybe_present")
+        d.join(maybe, ["host_bucket", "url_hash"], "left_anti")
+        .select("doc_id")
+        .withColumn("definitely_new", F.lit(True))
     )
 
 
-QUERIES: dict[str, tuple] = {
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
-    "dedup_simhash": (q_dedup_simhash, None),
-    "membership_cuckoo": (q_membership_cuckoo, None),
-}
+# --------------------------------------------------------------------------
+# Literal-VALUES oracles (r3 verdict ask #5): the MinHash/SimHash PAIR SETS
+# are deterministic given the spec constants, so an INDEPENDENT per-document
+# brute force (plain Python loops + dict-of-buckets banding — no Spark, no
+# shared plumbing with the engine's whole-batch reduceat/banded-join paths)
+# can emit the expected rows for DuckDB.  The only shared pieces are the
+# spec itself (_A/_B/_P, band layout, BAND_BUCKET_CAP) and the public
+# ``pd.util.hash_array`` primitive — exactly like the crawl oracles sharing
+# xxhash64.  VALUES are computed from the driver's oracle scale factor
+# (sf0.01; override with SPARK_GRAFT_ORACLE_SF for local runs at other SFs).
+# --------------------------------------------------------------------------
+
+import os as _os
+
+
+def _oracle_docs() -> list[dict]:
+    import pyarrow.parquet as pq
+
+    d = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    return pq.read_table(
+        f"{d}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+
+
+def _ref_minhash(text: str) -> tuple[int, ...]:
+    """Per-doc reference MinHash: fresh loop over the spec's affine family."""
+    sh = _shingle_list(text or "")
+    if not sh:
+        return tuple([0] * N_HASHES)
+    h = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+    out = []
+    for j in range(N_HASHES):
+        vals = (h * _A[j] + _B[j]) % _P  # uint64 wrap, then Mersenne mod
+        out.append(int(vals.min()))
+    return tuple(out)
+
+
+def _ref_simhash(text: str) -> int:
+    """Per-doc reference SimHash → uint64 as Python int."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+    sig = 0
+    for k in range(64):
+        ones = int(((h >> np.uint64(k)) & np.uint64(1)).sum())
+        if 2 * ones - len(toks) > 0:
+            sig |= 1 << k
+    return sig
+
+
+def _capped_bucket_pairs(buckets: dict, cap: int) -> set:
+    """Occupancy-capped pair generation — mirrors banding.band_pairs: keep
+    each bucket's ``cap`` smallest ids, all (a < b) pairs of the kept."""
+    pairs: set = set()
+    for ids in buckets.values():
+        kept = sorted(ids)[:cap]
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                pairs.add((kept[i], kept[j]))
+    return pairs
+
+
+def _sql_dedup_minhash() -> str:
+    from csxj_crawler_spark import spec
+    from csxj_crawler_spark.queries._fixture import values_sql
+
+    sigs = {r["doc_id"]: _ref_minhash(r["text"]) for r in _oracle_docs()}
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for b in range(N_BANDS):
+            key = (b, sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND])
+            buckets.setdefault(key, []).append(doc_id)
+    rows = []
+    for a, b in sorted(_capped_bucket_pairs(buckets, spec.BAND_BUCKET_CAP)):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / N_HASHES
+        if est >= 0.5:
+            rows.append((a, b, est))  # k/64 is exact in <=6 decimals
+    return values_sql(
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
+        rows,
+    )
+
+
+def _sql_dedup_simhash() -> str:
+    from csxj_crawler_spark import spec
+    from csxj_crawler_spark.queries._fixture import values_sql
+
+    sigs = {r["doc_id"]: _ref_simhash(r["text"]) for r in _oracle_docs()}
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for k in range(4):
+            buckets.setdefault((k, (sig >> (16 * k)) & 0xFFFF), []).append(doc_id)
+    rows = []
+    for a, b in sorted(_capped_bucket_pairs(buckets, spec.BAND_BUCKET_CAP)):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 6:
+            rows.append((a, b, ham))
+    return values_sql(
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
+        rows,
+    )
+
+
+def QUERIES() -> dict[str, tuple]:
+    """Callable (like crawlops.QUERIES) because the MinHash/SimHash oracles
+    compute literal VALUES from the oracle-SF documents table."""
+    return {
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_dedup_minhash()),
+        "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+        "membership_cuckoo": (q_membership_cuckoo, None),
+    }

@@ -33,15 +33,22 @@ def _default_driver_mem() -> str:
 
 
 def _default_local_dir() -> str | None:
-    """Shuffle/spill scratch on tmpfs when the host has one: on a single box
-    the OS disk is a FIXED-throughput resource, so disk-backed shuffle caps
-    high-parallelism runs and distorts any core-scaling measurement (a real
-    cluster scales local NVMe with node count).  SPARK_GRAFT_LOCAL_DIR wins;
-    set it to e.g. /tmp to force disk."""
+    """Shuffle/spill scratch.  The LIBRARY default is Spark's own (disk):
+    shuffle spill happens precisely under memory pressure, and tmpfs (capped
+    at ~50% of RAM) turns a large spill into ENOSPC/OOM where disk-backed
+    spill survives — so /dev/shm must never be a silent engine-wide default.
+    Benchmarks opt in explicitly (scaling_bench/bench pass spark.local.dir or
+    set SPARK_GRAFT_LOCAL_DIR) because on a ONE-BOX measurement the OS disk
+    is a fixed-throughput resource that distorts core-scaling ratios, while
+    real clusters scale local NVMe with node count."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
-    return "/dev/shm/csxj-spark-local" if os.path.isdir("/dev/shm") else None
+    if os.environ.get("SPARK_GRAFT_TMPFS_SCRATCH", "0") == "1" and os.path.isdir(
+        "/dev/shm"
+    ):
+        return "/dev/shm/csxj-spark-local"
+    return None
 
 
 def get_spark(

@@ -485,15 +485,25 @@ def main() -> None:
                 MKL_NUM_THREADS="1",
                 NUMEXPR_NUM_THREADS="1",
             )
+            preexec = None
             if PIN:
                 # cgroup-style fixed container shape: the whole process tree
                 # (JVM, GC, shuffle threads, Python workers) shares exactly
                 # `cores` CPUs, as a real executor container would
                 n_pin = cores * CPE if MODE == "cluster" else cores
                 cmd = ["taskset", "-c", f"0-{n_pin - 1}"] + cmd
+            else:
+                # the orchestrator pinned ITSELF to the host's last 2 cores
+                # (to keep the bw sampler off the trial cpusets); children
+                # inherit that affinity, so an unpinned control run would
+                # silently execute both levels on 2 cores and report a
+                # meaningless ~1.0 efficiency — reset the child to all cores
+                def preexec() -> None:
+                    os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+
             proc = subprocess.Popen(
                 cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                text=True, env=env,
+                text=True, env=env, preexec_fn=preexec,
             )
             bw: list[float] = []
             while proc.poll() is None:

@@ -88,3 +88,41 @@ def test_search_prunes_unprobed_partitions(emb, centroids, spark, tmp_path):
         "PartitionFilters"
     )[1][:200]
     assert res.count() == 5
+
+
+def test_batch_search_matches_single_and_prunes(emb, centroids, spark, tmp_path):
+    """search_topk_batch (r4): a TABLE of queries in one plan must return,
+    per query, exactly what per-query search_topk returns (same probes, same
+    scores, same tie-breaks), and with broadcast_queries=True over a
+    partitionBy(cluster_id) table the join's dynamic partition pruning must
+    reach the scan so unprobed lists are skipped at the file level."""
+    path = str(tmp_path / "ivf_index_batch")
+    ann.build_index(emb, centroids).write.partitionBy("cluster_id").parquet(path)
+    idx = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ann.search_topk_batch(idx, centroids, queries, nprobe=4, topk=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull" in plan
+    by_q: dict[int, list] = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"])
+        )
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for r in queries.collect():
+        qv = [float(x) for x in r["embedding"]]
+        single = ann.search_topk(idx, centroids, qv, nprobe=4, topk=10).collect()
+        want = [
+            (i + 1, s["vec_id"], s["cosine"]) for i, s in enumerate(single)
+        ]
+        assert sorted(by_q[r["query_id"]]) == want
+
+    # shuffle-join variant (huge query tables): same rows
+    res2 = ann.search_topk_batch(
+        idx, centroids, queries, nprobe=4, topk=10, broadcast_queries=False
+    )
+    a = {(r["query_id"], r["rank"], r["vec_id"]) for r in res.collect()}
+    b = {(r["query_id"], r["rank"], r["vec_id"]) for r in res2.collect()}
+    assert a == b

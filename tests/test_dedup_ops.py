@@ -28,6 +28,30 @@ def docs(spark, sf_dir):
     }
 
 
+def test_minhash_batch_bitparity_with_perdoc(docs):
+    """The whole-batch reduceat MinHash (r4) must be bit-identical to the
+    per-document reference it replaced — on real fixture docs, on empties/
+    NULLs, and across chunk boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from csxj_crawler_spark.queries import dedupops as D
+
+    texts = list(docs.values()) + [None, "", "one", "one two", "a b c d e"]
+    s = pd.Series(texts, dtype=object)
+    got = D._minhash_sig_batch(s)
+    want = D._minhash_sig_perdoc(s)
+    assert all(list(g) == list(w) for g, w in zip(got, want))
+    # force many chunk boundaries (incl. mid-document-range splits)
+    old = D._MINHASH_CHUNK_SHINGLES
+    try:
+        D._MINHASH_CHUNK_SHINGLES = 5
+        got2 = D._minhash_sig_batch(s)
+    finally:
+        D._MINHASH_CHUNK_SHINGLES = old
+    assert all(list(g) == list(w) for g, w in zip(got2, want))
+
+
 def test_minhash_lsh_recall_and_precision(spark, sf_dir, docs):
     got = {
         (r.doc_a, r.doc_b): r.est_jaccard

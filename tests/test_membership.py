@@ -227,6 +227,29 @@ def test_bloom_probe_bcast_parity_with_cogroup(spark):
     assert auto_small == want and auto_big == want
 
 
+def test_bloom_probe_bcast_driver_guard_falls_back(spark):
+    """An oversized sidecar must NOT be collected to the driver: the bcast
+    entry point's driver-memory guard (r4) silently degrades to the cogrouped
+    shuffle probe — same maybe-set, a FlatMapCoGroupsInPandas plan, and no
+    broadcast/collect of the blobs."""
+    rng = np.random.RandomState(5)
+    seen_h = rng.randint(-(2**62), 2**62, size=500).astype(np.int64)
+    seen = spark.createDataFrame(
+        [(int(h) % 4, int(h)) for h in seen_h], "host_bucket int, url_hash long"
+    )
+    cand = spark.createDataFrame(
+        [(int(h) % 4, int(h)) for h in seen_h[::3]], "host_bucket int, url_hash long"
+    )
+    blooms = M.build_blooms(seen).cache()
+    want = {(r.host_bucket, r.url_hash) for r in M.bloom_probe_maybe(cand, blooms).collect()}
+    guarded = M.bloom_probe_maybe_bcast(cand, blooms, max_bytes=1)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan  # cogroup path, no collect
+    assert {(r.host_bucket, r.url_hash) for r in guarded.collect()} == want
+    # default guard derives from spark.driver.memory and is permissive here
+    assert M._driver_mem_bytes(spark) >= (1 << 30)
+
+
 def test_bloom_probe_bcast_empty_sidecar(spark):
     cand = spark.createDataFrame([(0, 1), (1, 2)], "host_bucket int, url_hash long")
     blooms = M.build_blooms(spark.createDataFrame([], "host_bucket int, url_hash long"))

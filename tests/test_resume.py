@@ -90,7 +90,7 @@ def test_bloom_sidecar_survives_threshold_change_on_resume(
     # waves below threshold the sidecar goes stale (seen keeps growing)...
     mid = CrawlEngine(spark, st, n_buckets=8, bloom_min_seen=10**9)
     mid.run(seeds, graph, robots, max_waves=3)
-    # ...then re-enable blooms: _update_blooms must detect the stale stamp
+    # ...then re-enable blooms: _update_sidecar must detect the stale stamp
     # and full-rebuild instead of delta-merging
     fin = CrawlEngine(spark, st, n_buckets=8, bloom_min_seen=0)
     fin.run(seeds, graph, robots)

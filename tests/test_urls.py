@@ -53,6 +53,25 @@ def test_udf_matches_expr(spark, fix_dir):
     assert all(r["e"] == r["u"] for r in rows)
 
 
+def test_arrow_tracking_chain_and_splice_regression():
+    """Round-4 regression (ADVICE r3, high): pass 4a's removal can SPLICE new
+    adjacent tracking pairs, and chains of pairs need the lookahead semantics;
+    the arrow path now loops its consuming 4b rewrite to a fixpoint."""
+    from csxj_crawler_spark.functions.urls import _canon_arrow
+
+    cases = [
+        "http://h/?ututm_a=1&m_y=1&ututm_b=2&m_w=3&end",  # the ADVICE repro
+        "http://h/?utm_a=1&utm_b=2&utm_c=3",  # chain, consuming-skip shape
+        "http://h/?x=1&utm_a=1&utm_b=2&utm_c=3&y=2",
+        "http://h/?ututm_a=1&m_b=2&ututm_c=3&m_d=4",  # double splice
+        "http://h/?a=but&m_x=3&end",  # mid-value splice must NOT be removed
+    ]
+    got = _canon_arrow(pd.Series(cases)).tolist()
+    want = _canon_pandas(pd.Series(cases)).tolist()
+    assert got == want
+    assert want[0] == "http://h/&end"
+
+
 _hosts = st.sampled_from(["lesoir-0.example", "A-B.Example", "x.org"])
 _paths = st.lists(
     st.text(alphabet="abcZ09._-", min_size=1, max_size=6), min_size=0, max_size=4
@@ -110,8 +129,11 @@ def test_host_bucket_stable_and_bounded(spark, fix_dir):
     assert all(len(v) == 1 for v in by_host.values())
 
 
+# alphabet includes u/t/m so the strategy can FORM tracking params (`utm_a=1`)
+# and splice-prone neighborhoods (`ututm_a=1&m_y=1`) — the round-3 arrow/pandas
+# divergence lived exactly there and the old alphabet could never reach it
 _nasty = st.text(
-    alphabet="abAB09:/?&=#._-%+~ \t", min_size=0, max_size=40
+    alphabet="utmabAB09:/?&=#._-%+~ \t", min_size=0, max_size=40
 )
 
 
