@@ -55,6 +55,17 @@ tuning trick — see BASELINE.md for the numbers):
   drift shared by both legs cancels in their ratio) and the headline is
   the median over pairs whose both legs pass the gates; the independent
   level-median ratio and the best-of ratio are reported alongside.
+* **full-pipeline warm-up (round 4)**: each trial first runs the whole
+  pipeline on ONE input file (~1/64 of the data), untimed — compiling
+  every stage's codegen and pre-forking the Python workers, where the old
+  canon-only warm-up left ~3-8 s of first-use JIT inside the timed region
+  (a fixed serial cost that deflates only the 4N leg's efficiency; a
+  production driver pays it once per process, not per wave).
+* **negative results kept on record (round 4 probes, /tmp + BASELINE.md)**:
+  zstd for parquet+shuffle (8-core leg +25% vs 2-core +3% — the job is
+  CPU-bound at 4N, so trading CPU for bytes backfires) and JVM-expr
+  canonicalization (2x slower absolute, 2.27x vs 3.21x stage scaling —
+  java.util.regex vs RE2).  Both stay available behind env knobs.
 
 Usage:
   python scripts/scaling_bench.py            # orchestrate both levels
@@ -97,8 +108,19 @@ TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 #: amortize — kept as a documented negative result, not the evidence mode.
 MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
 #: parquet + shuffle/broadcast compression codec ("" → Spark defaults:
-#: snappy parquet, lz4 shuffle)
+#: snappy parquet, lz4 shuffle).  zstd was probed and REJECTED: it slowed
+#: the 8-core leg 25% vs 3% at 2 cores (probe_zstd, r4) — this pipeline is
+#: CPU-bound at 4N, so trading CPU for bytes moves the wrong way.
 CODEC = os.environ.get("SPARK_GRAFT_SCALE_CODEC", "")
+#: canonicalization implementation for the canon+persist stage: "expr" (the
+#: ENGINE's default hot path — canonicalize_expr, JVM whole-stage codegen,
+#: bit-identical to the Arrow UDF, oracled per-row in queries/crawlops.py)
+#: or "udf" (the pyarrow-RE2 kernel path).  Probed r4 and the EXPR path was
+#: REJECTED for the measured job: java.util.regex runs the 10-pass rule ~2x
+#: slower than the RE2 kernels (canon stage 113 vs 57 s at 8 cores) AND
+#: scales worse (2.27x vs 3.21x for 2→8) — so "udf" stays the default and
+#: the engine's JVM-expr hot path remains for short interactive waves.
+CANON = os.environ.get("SPARK_GRAFT_SCALE_CANON", "udf")
 #: Pin each level's subprocess tree (JVM + Python workers) to a cpuset of
 #: exactly its core count, the way YARN/K8s cgroup-limits a real executor
 #: container.  Unpinned, the local[2] JVM's auxiliary threads (GC, shuffle
@@ -293,103 +315,125 @@ def run_one(cores: int) -> dict:
         )
     cand = spark.read.parquet(DATA)
     cand.count()  # warm the file listing/footer cache outside the timed region
-    # pre-fork the Python worker pool (one per core) so daemon startup and
-    # pandas import cost don't land inside the steady-state timing (the
-    # bloom build/probe stages run as Arrow UDFs)
-    warm = cand.limit(4 * slots * 1000).repartition(4 * slots)
-    warm.select(U.canonicalize_udf(F.col("url"))).agg(F.count("*")).collect()
+
+    def _pipeline(
+        src, canon_pq: str, stage_t: dict | None = None, t0: float | None = None
+    ) -> tuple[int, list]:
+        """The measured mega-wave, parameterized so the SAME plan can run
+        once as an untimed warm-up (see below) and once for the record.
+
+        Persists the canonicalized frame as a PARQUET table (exactly what
+        the engine's SnapshotStore does with frontier tables), not
+        ``.cache()``: Spark's in-memory columnar cache build measured as a
+        SERIAL ~235k rows/s ceiling on this workload, which silently bounds
+        every level above ~2 cores; the parquet writer scales with cores
+        and downstream scans get columnar pruning + page-cache reads.
+        Canonicalization uses the vectorized Arrow UDF by default
+        (pyarrow/RE2 kernels — bit-identical to the JVM expression,
+        oracled; the expr variant measured 2x slower AND worse-scaling,
+        see CANON above).  salt is derived HERE, in the same persisted
+        projection as the other key columns: downstream narrow stages
+        (politeness window) then read only fixed-width columns."""
+        canon_fn = U.canonicalize_expr if CANON == "expr" else U.canonicalize_udf
+        (
+            src.withColumn("url", canon_fn(F.col("url")))
+            .withColumn("url_hash", U.url_hash(F.col("url")))
+            .withColumn("host", U.host_of(F.col("url")))
+            .withColumn("host_bucket", U.host_bucket(F.col("host"), n_buckets))
+            .withColumn("salt", U.url_salt(F.col("url")))
+        ).write.mode("overwrite").parquet(canon_pq)
+        if stage_t is not None:
+            stage_t["canon_write"] = round(time.time() - t0, 2)
+        c = spark.read.parquet(canon_pq)
+        seen = c.filter(F.pmod(F.col("cand_seq"), F.lit(2)) == 0).select(
+            "host_bucket", "url_hash", "url"
+        )
+        # sub-filter build per (bucket, hash%salt) (spec.BLOOM_SALT): without
+        # the fan-out the hot host's bucket runs as ONE Arrow task and bounds
+        # both the build and the probe (measured probe scaling 1.24x instead
+        # of ~4x on 2->8 cores)
+        blooms = M.build_blooms(seen, salt=spec.BLOOM_SALT).cache()
+        if stage_t is not None:
+            blooms.count()
+            stage_t["bloom_build"] = round(time.time() - t0, 2)
+        cands = c.filter(F.pmod(F.col("cand_seq"), F.lit(2)) == 1)
+        # probe via the engine's auto strategy (the folded _dedup_new plan):
+        # the 24M-key sidecar (~60 MB) is far under BLOOM_BCAST_MAX_BYTES, so
+        # this is the broadcast MAP-SIDE probe — the sidecar ships to
+        # executors once and probing pipelines with the candidate scan; no
+        # candidate shuffle, no cogroup sort.  (The >threshold cogroup path
+        # stays exact-verified by the operator parity tests.)
+        maybe_h = M.bloom_probe_maybe_auto(
+            cands, blooms, salt=spec.BLOOM_SALT
+        ).cache()
+        if stage_t is not None:
+            maybe_h.count()
+            stage_t["bloom_probe"] = round(time.time() - t0, 2)
+        matches = seen.join(
+            F.broadcast(maybe_h), ["host_bucket", "url_hash"], "left_semi"
+        ).select("url_hash", "url")
+        new = cands.join(F.broadcast(matches), ["url_hash", "url"], "left_anti")
+        # salted two-level politeness selection over a NARROW frame: the
+        # window shuffle carries only (host, salt, cand_seq, url_hash,
+        # crawl_delay) (~45 B/row) instead of full rows with url strings
+        # (~120 B/row); the selection is budget-bounded, so full rows are
+        # re-attached afterwards with a broadcast join on (url_hash,
+        # cand_seq) — at 10^10-frontier scale the window shuffle is the
+        # dominant mover and this ~2.5x's it
+        budget_c = F.greatest(
+            F.lit(1),
+            F.floor(F.lit(spec.WAVE_SECONDS) / F.col("crawl_delay")).cast("int"),
+        )
+        narrow = new.select("host", "url_hash", "cand_seq", "crawl_delay", "salt")
+        order = (F.asc("cand_seq"),)
+        per_salt = Window.partitionBy("host", "salt").orderBy(*order)
+        per_host = Window.partitionBy("host").orderBy(*order)
+        sel_keys = (
+            narrow.withColumn("salt_rank", F.row_number().over(per_salt))
+            .filter(F.col("salt_rank") <= budget_c)
+            .withColumn("host_rank", F.row_number().over(per_host))
+            .filter(F.col("host_rank") <= budget_c)
+        )
+        wsel = Window.orderBy("cand_seq")
+        picked_keys = (
+            sel_keys.withColumn("wave_rank", F.row_number().over(wsel))
+            .filter(F.col("wave_rank") <= 1_000_000)
+            .select("url_hash", "cand_seq", "wave_rank")
+        )
+        # re-attach full candidate rows (url etc.) to the budget-sized
+        # selection; joining the persisted candidate side (picked keys are
+        # in `new` ⊆ cands by construction) avoids recomputing the anti-join
+        picked = cands.join(F.broadcast(picked_keys), ["url_hash", "cand_seq"])
+        return picked.count(), [blooms, maybe_h]
+
+    import shutil
 
     canon_pq = os.path.join(_SCRATCH, f"csxj_scale_canon_{os.getpid()}.parquet")
+    # FULL-PIPELINE warm-up on ONE input file (~1/64 of the data), untimed:
+    # pre-forks the Python worker pool AND compiles every stage's codegen
+    # (scan, Arrow canon, parquet write, bloom build/probe, both windows,
+    # committer) before t0.  The old warm-up only compiled the canon UDF, so
+    # each trial paid ~3-8 s of first-use JIT/codegen INSIDE the timed
+    # region — a fixed serial cost identical at both levels, i.e. pure
+    # Amdahl deflation of the 4N leg (a production driver pays it once per
+    # process, not once per wave).
+    warm_src = spark.read.parquet(os.path.join(DATA, "part-000.parquet"))
+    _n_warm, warm_caches = _pipeline(warm_src, canon_pq + ".warm")
+    for df in warm_caches:
+        df.unpersist()
+    shutil.rmtree(canon_pq + ".warm", ignore_errors=True)
+
     st0 = _proc_stat()
     t0 = time.time()
-    # persist the canonicalized frame as a PARQUET table (exactly what the
-    # engine's SnapshotStore does with frontier tables), not .cache():
-    # Spark's in-memory columnar cache build measured as a SERIAL ~235k
-    # rows/s ceiling on this workload (51 s for 12M rows at BOTH 2 and 8
-    # cores — compression accounts for half, the rest doesn't parallelize
-    # either), which silently bounds every level above ~2 cores; the
-    # parquet writer scales with cores (3.55x at 2→8) and downstream scans
-    # get columnar pruning + page-cache reads.  Canonicalization uses the
-    # vectorized Arrow UDF (pyarrow/RE2 kernels — bit-identical to the JVM
-    # expression, oracled).  salt is derived HERE, in the same persisted
-    # projection as the other key columns: downstream narrow stages
-    # (politeness window) then read only fixed-width columns — without
-    # this, url_salt(url) in the window stage re-reads the whole url column
-    # (~1.7 GB at 48M rows) for 4 bytes of output per row
-    (
-        cand.withColumn("url", U.canonicalize_udf(F.col("url")))
-        .withColumn("url_hash", U.url_hash(F.col("url")))
-        .withColumn("host", U.host_of(F.col("url")))
-        .withColumn("host_bucket", U.host_bucket(F.col("host"), n_buckets))
-        .withColumn("salt", U.url_salt(F.col("url")))
-    ).write.mode("overwrite").parquet(canon_pq)
     stage_t: dict[str, float] = {}
-    if STAGES:
-        stage_t["canon_write"] = round(time.time() - t0, 2)
-    c = spark.read.parquet(canon_pq)
-    seen = c.filter(F.pmod(F.col("cand_seq"), F.lit(2)) == 0).select(
-        "host_bucket", "url_hash", "url"
+    n_selected, _caches = _pipeline(
+        cand, canon_pq, stage_t if STAGES else None, t0
     )
-    # sub-filter build per (bucket, hash%salt) (spec.BLOOM_SALT): without
-    # the fan-out the hot host's bucket runs as ONE Arrow task and bounds
-    # both the build and the probe (measured probe scaling 1.24x instead of
-    # ~4x on 2->8 cores)
-    blooms = M.build_blooms(seen, salt=spec.BLOOM_SALT).cache()
-    if STAGES:
-        blooms.count()
-        stage_t["bloom_build"] = round(time.time() - t0, 2)
-    cands = c.filter(F.pmod(F.col("cand_seq"), F.lit(2)) == 1)
-    # probe via the engine's auto strategy (the folded _dedup_new plan): the
-    # 24M-key sidecar (~60 MB) is far under BLOOM_BCAST_MAX_BYTES, so this
-    # is the broadcast MAP-SIDE probe — the sidecar ships to executors once
-    # and probing pipelines with the candidate scan; no candidate shuffle,
-    # no cogroup sort.  (The >threshold cogroup path stays exact-verified by
-    # the operator parity tests.)
-    maybe_h = M.bloom_probe_maybe_auto(cands, blooms, salt=spec.BLOOM_SALT).cache()
-    if STAGES:
-        maybe_h.count()
-        stage_t["bloom_probe"] = round(time.time() - t0, 2)
-    matches = seen.join(
-        F.broadcast(maybe_h), ["host_bucket", "url_hash"], "left_semi"
-    ).select("url_hash", "url")
-    new = cands.join(F.broadcast(matches), ["url_hash", "url"], "left_anti")
-    # salted two-level politeness selection over a NARROW frame: the window
-    # shuffle carries only (host, salt, cand_seq, url_hash, crawl_delay)
-    # (~45 B/row) instead of full rows with url strings (~120 B/row); the
-    # selection is budget-bounded, so full rows are re-attached afterwards
-    # with a broadcast join on (url_hash, cand_seq) — at 10^10-frontier
-    # scale the window shuffle is the dominant mover and this ~2.5x's it
-    budget_c = F.greatest(
-        F.lit(1),
-        F.floor(F.lit(spec.WAVE_SECONDS) / F.col("crawl_delay")).cast("int"),
-    )
-    narrow = new.select("host", "url_hash", "cand_seq", "crawl_delay", "salt")
-    order = (F.asc("cand_seq"),)
-    per_salt = Window.partitionBy("host", "salt").orderBy(*order)
-    per_host = Window.partitionBy("host").orderBy(*order)
-    sel_keys = (
-        narrow.withColumn("salt_rank", F.row_number().over(per_salt))
-        .filter(F.col("salt_rank") <= budget_c)
-        .withColumn("host_rank", F.row_number().over(per_host))
-        .filter(F.col("host_rank") <= budget_c)
-    )
-    wsel = Window.orderBy("cand_seq")
-    picked_keys = (
-        sel_keys.withColumn("wave_rank", F.row_number().over(wsel))
-        .filter(F.col("wave_rank") <= 1_000_000)
-        .select("url_hash", "cand_seq", "wave_rank")
-    )
-    # re-attach full candidate rows (url etc.) to the budget-sized
-    # selection; joining the persisted candidate side (picked keys are in
-    # `new` ⊆ cands by construction) avoids recomputing the anti-join
-    picked = cands.join(F.broadcast(picked_keys), ["url_hash", "cand_seq"])
-    n_selected = picked.count()
     dt = time.time() - t0
     if STAGES:
         stage_t["dedup_window_rank"] = round(dt, 2)
     st1 = _proc_stat()
     spark.stop()
-    import shutil
 
     shutil.rmtree(canon_pq, ignore_errors=True)
     d_total = max(1, st1[2] - st0[2])
