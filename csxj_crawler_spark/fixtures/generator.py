@@ -301,8 +301,138 @@ def generate(
         tables["images_captions"] = images_captions
         tables["images_golden"] = images_golden
 
+    # --- articles_raw + golden: per-source structured-extraction fixtures --
+    # (ArticleData analogue, SURVEY.md §1.1/§5.1: title/author/pub date+time/
+    # category breadcrumb/intro/content per stored page blob, one distinct
+    # markup layout per source so extraction dispatch is real.)  Uses an
+    # INDEPENDENT rng stream seeded off the page fields so nothing above —
+    # and therefore no existing golden — changes.
+    art = _gen_articles(
+        np.random.RandomState(seed ^ 0x5A17), urls, page_sources, status
+    )
+    tables["articles_raw"] = art[0]
+    tables["articles_golden"] = art[1]
+
     for name, tbl in tables.items():
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(tbl, p)
         paths[name] = p
     return paths
+
+
+#: per-source page layouts (distinct tags/attrs/date formats, like the four
+#: reference datasource parsers): render(title, date parts, author, cats,
+#: intro, paragraphs) -> html string.  Layout quirks exercised: different
+#: date spellings, optional author, breadcrumb separators, nested containers.
+def _render_lesoir(t, y, mo, d, h, mi, au, cats, intro, pars):
+    body = "\n".join(f'<p class="article-par">{p}</p>' for p in pars)
+    author = f'<span class="article__author">{au}</span>\n' if au else ""
+    return (
+        f"<html><head><title>{t} - lesoir</title>\n"
+        f'<meta name="publication" content="{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}"/>'
+        f"</head>\n<body>\n"
+        f'<nav class="breadcrumb">{cats[0]} &gt; {cats[1]}</nav>\n'
+        f'<h1 class="article__title">{t}</h1>\n{author}'
+        f'<p class="chapo">{intro}</p>\n{body}\n</body></html>'
+    )
+
+
+def _render_lalibre(t, y, mo, d, h, mi, au, cats, intro, pars):
+    body = "\n".join(f"<p>{p}</p>" for p in pars)
+    author = f'<em class="signature">{au}</em>\n' if au else ""
+    return (
+        f"<html><body>\n"
+        f'<ul class="breadcrumb"><li>{cats[0]}</li><li>{cats[1]}</li></ul>\n'
+        f'<h1 id="articleTitle">{t}</h1>\n'
+        f'<div class="publishedDate">Publié le {d:02d}/{mo:02d}/{y:04d} à {h:02d}h{mi:02d}</div>\n'
+        f"{author}"
+        f'<div class="intro"><p>{intro}</p></div>\n'
+        f'<div class="article-body">{body}</div>\n</body></html>'
+    )
+
+
+def _render_dhnet(t, y, mo, d, h, mi, au, cats, intro, pars):
+    body = "\n".join(f"<p>{p}</p>" for p in pars)
+    author = f'<p class="auteur">Par {au}</p>\n' if au else ""
+    return (
+        f"<html><body>\n"
+        f'<div class="filariane">{cats[0]}/{cats[1]}</div>\n'
+        f'<h2 class="titre">{t}</h2>\n'
+        f'<time datetime="{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}">x</time>\n'
+        f"{author}"
+        f'<p class="lead">{intro}</p>\n'
+        f'<section class="texte">{body}</section>\n</body></html>'
+    )
+
+
+def _render_sudinfo(t, y, mo, d, h, mi, au, cats, intro, pars):
+    body = "\n".join(f'<p class="par">{p}</p>' for p in pars)
+    author = f'<span class="byline">{au}</span>\n' if au else ""
+    return (
+        f"<html><body>\n"
+        f'<p class="crumbs">{cats[0]} | {cats[1]}</p>\n'
+        f"<h1>{t}</h1>\n"
+        f'<span class="date">{d:02d}/{mo:02d}/{y:04d} {h:02d}:{mi:02d}</span>\n'
+        f"{author}"
+        f'<p class="intro">{intro}</p>\n'
+        f"<article>{body}</article>\n</body></html>"
+    )
+
+
+_RENDERERS = {
+    "lesoir": _render_lesoir,
+    "lalibre": _render_lalibre,
+    "dhnet": _render_dhnet,
+    "sudinfo": _render_sudinfo,
+}
+
+
+def _gen_articles(rng2, urls, page_sources, status):
+    raw_rows: list[tuple] = []
+    gold_rows: list[tuple] = []
+    cats_pool = ["actualite", "sports", "culture", "economie", "regions", "monde"]
+    for i in np.where(status == 200)[0]:
+        src = page_sources[i]
+        title = " ".join(rng2.choice(_VOCAB, rng2.randint(3, 7))).capitalize()
+        y, mo, d = 2010 + int(rng2.randint(3)), 1 + int(rng2.randint(12)), 1 + int(
+            rng2.randint(28)
+        )
+        h, mi = int(rng2.randint(24)), int(rng2.randint(60))
+        author = (
+            " ".join(rng2.choice(_VOCAB, 2)).title() if rng2.rand() < 0.8 else None
+        )
+        cats = list(rng2.choice(cats_pool, 2, replace=False))
+        intro = " ".join(rng2.choice(_VOCAB, rng2.randint(8, 16)))
+        pars = [
+            " ".join(rng2.choice(_VOCAB, rng2.randint(10, 30)))
+            for _ in range(int(rng2.randint(1, 6)))
+        ]
+        html = _RENDERERS[src](title, y, mo, d, h, mi, author, cats, intro, pars)
+        raw_rows.append((str(urls[i]), src, html))
+        gold_rows.append(
+            (
+                str(urls[i]), src, title,
+                f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}",
+                author, cats, intro, pars,
+            )
+        )
+    raw = pa.table(
+        {
+            "url": pa.array([r[0] for r in raw_rows], pa.string()),
+            "source": pa.array([r[1] for r in raw_rows], pa.string()),
+            "raw_html": pa.array([r[2] for r in raw_rows], pa.string()),
+        }
+    )
+    golden = pa.table(
+        {
+            "url": pa.array([g[0] for g in gold_rows], pa.string()),
+            "source": pa.array([g[1] for g in gold_rows], pa.string()),
+            "title": pa.array([g[2] for g in gold_rows], pa.string()),
+            "pub_ts": pa.array([g[3] for g in gold_rows], pa.string()),
+            "author": pa.array([g[4] for g in gold_rows], pa.string()),
+            "category": pa.array([g[5] for g in gold_rows], pa.list_(pa.string())),
+            "intro": pa.array([g[6] for g in gold_rows], pa.string()),
+            "content": pa.array([g[7] for g in gold_rows], pa.list_(pa.string())),
+        }
+    )
+    return raw, golden

@@ -33,6 +33,17 @@ def main() -> None:
     p.add_argument("--wave-budget", type=int, default=2000)
     p.add_argument("--write-tasks", type=int, default=None)
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument(
+        "--seen-filter", choices=["bloom", "cuckoo", "none"], default=None,
+        help="seen-set sidecar kind; cuckoo supports O(delta) retraction "
+        "(see --retract).  Default: bloom (none with --no-bloom).",
+    )
+    p.add_argument(
+        "--retract", default=None, metavar="PARQUET",
+        help="parquet file/dir with a `url` column: retract these URLs from "
+        "the frontier AND the seen set (robots/policy change) before "
+        "crawling continues; with --max-waves 0 performs retraction only",
+    )
     args = p.parse_args()
 
     # imports AFTER SparkSession exists so --py-files distribution works the
@@ -44,11 +55,14 @@ def main() -> None:
     store = SnapshotStore(args.store, write_tasks=args.write_tasks)
     eng = CrawlEngine(
         spark, store, n_buckets=args.buckets, wave_budget=args.wave_budget,
-        use_bloom=not args.no_bloom,
+        use_bloom=not args.no_bloom, seen_filter=args.seen_filter,
     )
     seeds = spark.read.parquet(f"{args.fixture}/seeds.parquet")
     graph = spark.read.parquet(f"{args.fixture}/web_graph.parquet")
     robots = spark.read.parquet(f"{args.fixture}/robots.parquet")
+    n_retracted = 0
+    if args.retract:
+        n_retracted = eng.retract(spark.read.parquet(args.retract))
     t0 = time.time()
     stats = eng.run(seeds, graph, robots, max_waves=args.max_waves)
     dt = time.time() - t0
@@ -60,6 +74,8 @@ def main() -> None:
         "urls_per_sec": round(processed / dt, 1) if dt > 0 else None,
         "store": args.store,
         "resumed": stats[0].wave != 0 if stats else False,
+        "retracted": n_retracted,
+        "seen_filter": eng.seen_filter,
     }))
     spark.stop()
 
