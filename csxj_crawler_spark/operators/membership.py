@@ -398,6 +398,19 @@ def bloom_probe_maybe_auto(
 # ---------------------------------------------------------------------------
 
 
+def cuckoo_slots(capacity: int) -> int:
+    """ACTUAL slot count of a :class:`CuckooFilter` sized for ``capacity`` —
+    the single source of truth shared by the constructor and the engine's
+    occupancy precheck (plans/crawl.py).  Power-of-2 bucket rounding can make
+    the real table up to ~2× ``capacity * 1.25``, so any precheck written
+    against ``capacity`` alone silently diverges from the table the filter
+    actually allocates (r4 verdict nit #4)."""
+    n_buckets = 1
+    while n_buckets * CuckooFilter.SLOTS < capacity * 1.25:
+        n_buckets *= 2
+    return n_buckets * CuckooFilter.SLOTS
+
+
 class CuckooFilter:
     """Numpy cuckoo filter: 16-bit fingerprints, 4 slots/bucket, 2 buckets."""
 
@@ -405,9 +418,7 @@ class CuckooFilter:
     MAX_KICKS = 500
 
     def __init__(self, capacity: int, seed: int = 7):
-        n_buckets = 1
-        while n_buckets * self.SLOTS < capacity * 1.25:
-            n_buckets *= 2
+        n_buckets = cuckoo_slots(capacity) // self.SLOTS
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         self._rng = np.random.RandomState(seed)

@@ -322,11 +322,14 @@ class CrawlEngine:
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
-        # fill to ~95% of capacity at most (4-slot cuckoo tables insert
-        # reliably below that); beyond → rebuild with fresh 2x headroom
+        # fill to ~95% of the ACTUAL slot count at most (4-slot cuckoo tables
+        # insert reliably below that); beyond → rebuild with fresh 2x
+        # headroom.  M.cuckoo_slots is the same sizing the CuckooFilter
+        # constructor uses, so this precheck cannot diverge from the real
+        # table; the ok=false rebuild fallback below stays the hard guarantee.
         overflow = any(
             key in prev_nc
-            and (prev_nc[key][0] + c) > 0.95 * prev_nc[key][1] * 1.25
+            and (prev_nc[key][0] + c) > 0.95 * M.cuckoo_slots(prev_nc[key][1])
             for key, c in delta_n.items()
         )
         if overflow:
