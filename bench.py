@@ -91,13 +91,37 @@ def main() -> None:
         "q6_rollup": relational.QUERIES["rollup_order_stats"][0],
         "q7_text_quality": textops.QUERIES["text_quality"][0],
         "q8_ngram_jaccard": textops.QUERIES["dedup_ngram_jaccard"][0],
-        "q9_cosine_topk": simops.QUERIES["sim_cosine_topk"][0],
+        "q9_cosine_topk": simops.q_sim_cosine_topk,
         "q10_minhash_lsh": dedupops.q_dedup_minhash_lsh,
         "q13_simhash": dedupops.q_dedup_simhash,
-        "q14_lsh_ann": simops.QUERIES["sim_lsh_ann"][0],
+        "q14_lsh_ann": simops.q_sim_lsh_ann,
     }
 
     from pyspark.sql import functions as F
+
+    # q15 — the production ANN shape (r4 verdict ask #5): batch IVF search
+    # over a query TABLE via operators/ann.search_topk_batch (broadcast
+    # queries, index streams once, no query-side shuffle).  Index build
+    # (train + assign + partitionBy(cluster_id) persist) is untimed setup —
+    # a production index is built once and searched millions of times; the
+    # timed part is exactly the per-batch search plan.
+    from csxj_crawler_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ivf_centroids = ann.train_centroids(emb)
+    ivf_dir = os.path.join(_SCRATCH, "csxj_bench_ivf_index")
+    ann.build_index(emb, ivf_centroids).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(ivf_dir)
+    ivf_index = spark.read.parquet(ivf_dir)
+    ann_queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(8)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def q15_ann_batch(spark_, sf_):
+        return ann.search_topk_batch(ivf_index, ivf_centroids, ann_queries)
+
+    headline["q15_ann_batch"] = q15_ann_batch
 
     def _force(df) -> int:
         """Execute with EVERY produced column evaluated: ``count()`` lets
@@ -181,6 +205,48 @@ def main() -> None:
     times["q12_payload"] = round(img_sec, 3)
 
     total = round(time.time() - t_all, 3)
+
+    # the judged N→4N scaling evidence (BASELINE.json north_rule) is recorded
+    # by scripts/scaling_bench.py runs (two pinned-cpuset parallelism levels,
+    # 2 vs 8 cores, same 96M-URL input); surface the recorded runs and the
+    # pre-registered three-run-median aggregate here so BENCH_r{N}.json
+    # carries throughput at both levels plus the efficiency, per the brief
+    scaling: dict = {}
+    try:
+        import glob
+        import statistics
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        runs = []
+        for p in sorted(glob.glob(os.path.join(here, "bench_runs", "scaling_r04_run[123].json"))):
+            with open(p) as f:
+                d = json.loads(f.read().strip().splitlines()[-1])
+            levels = d.get("levels", {})
+            lo, hi = (levels.get(k, {}) for k in sorted(levels, key=int)[:2]) if len(levels) >= 2 else ({}, {})
+            runs.append(
+                {
+                    "file": os.path.basename(p),
+                    "paired": d.get("scaling_efficiency"),
+                    "level_median": d.get("scaling_efficiency_level_median"),
+                    "low_cores": lo.get("cores"),
+                    "high_cores": hi.get("cores"),
+                    "low_urls_per_sec": lo.get("urls_per_sec"),
+                    "high_urls_per_sec": hi.get("urls_per_sec"),
+                }
+            )
+        if runs:
+            med_paired = statistics.median(r["paired"] for r in runs)
+            med_level = statistics.median(r["level_median"] for r in runs)
+            scaling = {
+                "scaling_runs_recorded": runs,
+                "scaling_median_paired": round(med_paired, 3),
+                "scaling_median_level_median": round(med_level, 3),
+                "scaling_rule_pass": bool(med_paired >= 0.8 and med_level >= 0.8),
+                "scaling_runs_complete": len(runs) >= 3,
+            }
+    except Exception as e:  # never fail the bench over evidence reporting
+        scaling = {"scaling_runs_recorded": f"unreadable: {e}"}
+
     out = {
         "metric": "headline queries + crawl/payload throughput (per-query median of interleaved trials)",
         "value": round(sum(times.values()), 3),
@@ -197,6 +263,7 @@ def main() -> None:
         "images_decoded": n_img,
         "images_kept_after_prune": n_kept,
         "cpus": int(CPUS),
+        **scaling,
     }
     print(json.dumps(out))
     spark.stop()

@@ -50,6 +50,10 @@ _METRICS_SCHEMA = pa.schema(
         ("urls_new", pa.int64()),
         ("fetched", pa.int64()),
         ("errors", pa.int64()),
+        # frontier rows recalled by retract() — 0 on ordinary wave rows; a
+        # retraction writes its own metrics row so E3-style lifecycle queries
+        # can see how many URLs were recalled and when (r4 verdict ask #6)
+        ("retracted", pa.int64()),
     ]
 )
 
@@ -389,12 +393,15 @@ class CrawlEngine:
             )
             dels.count()  # materialize against the PRE-retraction snapshot
         txn = self.store.transaction()
+        n_removed = 0
         if queued is not None:
-            txn.stage(
+            q_man = txn.stage(
                 queued.join(F.broadcast(r.select(*keys)), keys, "left_anti"),
                 "queued", mode="overwrite", partition_by=["host_bucket"],
                 meta=man_q["meta"],
             )
+            # retracted frontier rows, from manifest file stats — no extra job
+            n_removed = pre_q - sum(f.get("rows", 0) for f in q_man["files"])
         if seen is not None:
             man_s = self.store.manifest("seen")
             txn.stage(
@@ -402,6 +409,22 @@ class CrawlEngine:
                 "seen", mode="overwrite", partition_by=["host_bucket"],
                 meta=dict(man_s["meta"], retracted=True),
             )
+        # the retraction is itself a lifecycle event: one wave_metrics row
+        # (zero fetch counters, nonzero `retracted`) inside the SAME txn, so
+        # E3-style queries can account for recalled URLs per wave (ask #6)
+        wave = int(man_q["meta"].get("wave", -1))
+        txn.stage_pylist(
+            [
+                {
+                    "wave": wave, "urls_in": 0, "urls_new": 0,
+                    "fetched": 0, "errors": 0, "retracted": n_removed,
+                }
+            ],
+            _METRICS_SCHEMA,
+            "wave_metrics",
+            mode="append",
+            meta={"wave": wave, "retraction": True},
+        )
         txn.commit(meta=dict(man_q["meta"], retracted=True))
         if dels is not None:
             stamp = self._seen_stamp()  # post-retraction snapshot identity
@@ -755,7 +778,7 @@ class CrawlEngine:
             [
                 {
                     "wave": wave, "urls_in": urls_in, "urls_new": urls_new,
-                    "fetched": fetched, "errors": errors,
+                    "fetched": fetched, "errors": errors, "retracted": 0,
                 }
             ],
             _METRICS_SCHEMA,

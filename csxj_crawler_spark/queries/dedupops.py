@@ -244,9 +244,12 @@ def q_membership_cuckoo(spark, sf_dir) -> DataFrame:
     the exact operators CrawlEngine.retract/_dedup_new call): build a
     per-(bucket, salt) sidecar over the even half of document fingerprints,
     DELETE the multiples of 4 (a retraction), probe everything, and return
-    the definitely-new doc_ids.  Deterministic but FP-dependent, so no SQL
-    oracle — the no-false-negative and delete-exactness contracts are locked
-    by tests/test_membership.py and tests/test_retraction.py."""
+    the definitely-new doc_ids.  Fully deterministic — the probe outcome is
+    provably independent of insertion order and of the seed=7 kick RNG (see
+    ``_sql_membership_cuckoo``) — so it is oracled via an independent
+    pure-Python multiset reconstruction; the no-false-negative and
+    delete-exactness contracts are additionally locked by
+    tests/test_membership.py and tests/test_retraction.py."""
     from csxj_crawler_spark.operators import membership as M
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -370,11 +373,84 @@ def _sql_dedup_simhash() -> str:
     )
 
 
+def _sql_membership_cuckoo() -> str:
+    """VALUES oracle for ``q_membership_cuckoo`` (r4 verdict ask #3), from an
+    INDEPENDENT pure-Python reconstruction — plain ints, the pure-Python
+    xxh64 reference (bit-parity with Spark locked by tests/test_xxh64.py),
+    and a multiset over ``(group, fingerprint, bucket-pair)`` keys.  No
+    numpy, no CuckooFilter code, no Spark.
+
+    Why a multiset is EXACTLY the filter's probe semantics (and therefore
+    insertion-order- and kick-RNG-independent): with a power-of-two bucket
+    count, an item's two candidate buckets are ``i1`` and
+    ``i1 XOR (fp * MIX mod 2^64) mod n_buckets`` — an involution, so the
+    pair is closed: every kick relocates a fingerprint via the SAME partial-
+    key map and can only move it between its own two buckets.  Two stored
+    fingerprints can make a probe hit for each other iff they are equal AND
+    their bucket pairs coincide (equal fp ⇒ pairs are identical or
+    disjoint), so ``contains(h)`` ≡ "the multiset count of h's
+    (group, fp, pair) key is > 0", whatever order insert_many/kicks placed
+    things.  Deletions subtract one copy per retracted key (every retraction
+    was inserted — dels ⊆ evens — so counts never underflow).  Group sizing
+    reproduces build_cuckoos: capacity = max(64, 2·n_group), bucket count =
+    cuckoo_slots(capacity)/4."""
+    from csxj_crawler_spark import spec
+    from csxj_crawler_spark.fixtures.xxh64 import to_signed, xxh64_long, xxh64_str
+    from csxj_crawler_spark.operators.membership import CUCKOO_HEADROOM, CuckooFilter, cuckoo_slots
+    from csxj_crawler_spark.queries._fixture import values_sql
+
+    mask64 = (1 << 64) - 1
+    mix = 0x9E3779B97F4A7C15
+    salt = spec.BLOOM_SALT
+
+    def ck_key(group: tuple, h: int, nb: int) -> tuple:
+        hu = h & mask64
+        fp = (hu >> 40) & 0xFFFF
+        if fp == 0:
+            fp = 1
+        i1 = hu % nb
+        i2 = (i1 ^ ((fp * mix) & mask64)) % nb
+        return (group, fp, min(i1, i2), max(i1, i2))
+
+    rows = [
+        (
+            r["doc_id"],
+            to_signed(xxh64_str(r["text"] or "")),
+            to_signed(xxh64_long(r["doc_id"])) % 8,
+        )
+        for r in _oracle_docs()
+    ]
+    # evens grouped exactly like build_cuckoos' (host_bucket, hash%salt)
+    groups: dict[tuple, list[int]] = {}
+    for _doc, h, hb in rows:
+        if h % 2 == 0:  # Python % is pmod, matching F.pmod on signed hashes
+            groups.setdefault((hb, h % salt), []).append(h)
+    counts: dict[tuple, int] = {}
+    nbuckets: dict[tuple, int] = {}
+    for key, hs in groups.items():
+        cap = max(64, int(len(hs) * CUCKOO_HEADROOM))
+        nb = cuckoo_slots(cap) // CuckooFilter.SLOTS
+        nbuckets[key] = nb
+        for h in hs:
+            k = ck_key(key, h, nb)
+            counts[k] = counts.get(k, 0) + 1
+        for h in hs:
+            if h % 4 == 0:  # the retraction batch
+                counts[ck_key(key, h, nb)] -= 1
+    out = []
+    for doc, h, hb in rows:
+        key = (hb, h % salt)
+        maybe = key in nbuckets and counts.get(ck_key(key, h, nbuckets[key]), 0) > 0
+        if not maybe:
+            out.append((doc, True))
+    return values_sql([("doc_id", "BIGINT"), ("definitely_new", "BOOLEAN")], out)
+
+
 def QUERIES() -> dict[str, tuple]:
-    """Callable (like crawlops.QUERIES) because the MinHash/SimHash oracles
-    compute literal VALUES from the oracle-SF documents table."""
+    """Callable (like crawlops.QUERIES) because the MinHash/SimHash/cuckoo
+    oracles compute literal VALUES from the oracle-SF documents table."""
     return {
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_dedup_minhash()),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
-        "membership_cuckoo": (q_membership_cuckoo, None),
+        "membership_cuckoo": (q_membership_cuckoo, _sql_membership_cuckoo()),
     }

@@ -254,3 +254,52 @@ def test_bloom_probe_bcast_empty_sidecar(spark):
     cand = spark.createDataFrame([(0, 1), (1, 2)], "host_bucket int, url_hash long")
     blooms = M.build_blooms(spark.createDataFrame([], "host_bucket int, url_hash long"))
     assert M.bloom_probe_maybe_bcast(cand, blooms).count() == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(i64, min_size=0, max_size=400),
+    st.data(),
+)
+def test_cuckoo_probe_equals_multiset_semantics(keys, data):
+    """The order-independence contract the membership_cuckoo VALUES oracle
+    rests on (queries/dedupops.py _sql_membership_cuckoo): after any insert
+    batch and any delete batch (deletes ⊆ inserts, per the public cuckoo
+    deletion precondition), ``contains_many`` must equal "the multiset count
+    of the key's (fingerprint, unordered-bucket-pair) is > 0" — for probes
+    of inserted, deleted AND never-seen hashes, whatever order insert_many
+    placed or kicked things.  Pure-Python reconstruction, no filter code."""
+    cf = M.CuckooFilter(capacity=max(64, 2 * len(keys)))
+    arr = np.array(keys, dtype=np.int64)
+    ins = cf.insert_many(arr)
+    if ins < len(keys):
+        return  # overflow is legal at adversarial sizes; oracle paths size 2x
+    dels = data.draw(st.lists(st.sampled_from(keys), max_size=len(keys), unique=True)) if keys else []
+    if dels:
+        cf.delete_many(np.array(dels, dtype=np.int64))
+
+    mask64 = (1 << 64) - 1
+    mix = 0x9E3779B97F4A7C15
+    nb = cf.n_buckets
+
+    def key_of(h: int) -> tuple:
+        hu = h & mask64
+        fp = (hu >> 40) & 0xFFFF
+        if fp == 0:
+            fp = 1
+        i1 = hu % nb
+        i2 = (i1 ^ ((fp * mix) & mask64)) % nb
+        return (fp, min(i1, i2), max(i1, i2))
+
+    counts: dict[tuple, int] = {}
+    for h in keys:
+        k = key_of(h)
+        counts[k] = counts.get(k, 0) + 1
+    for h in dels:
+        counts[key_of(h)] -= 1
+
+    probes = keys + dels + [h ^ 0x55AA for h in keys][:50] + [0, -1, 2**62]
+    parr = np.array(probes, dtype=np.int64)
+    got = cf.contains_many(parr)
+    want = np.array([counts.get(key_of(int(h)), 0) > 0 for h in probes])
+    assert (got == want).all()

@@ -89,6 +89,31 @@ def test_retracted_urls_leave_seen_and_frontier(retraction_runs):
     assert (store.row_count("queued") or 0) == 0
 
 
+def test_retraction_writes_metrics_row(spark, retraction_runs):
+    """retract() must leave an auditable lifecycle event: exactly one
+    wave_metrics row with zero fetch counters and ``retracted`` equal to the
+    number of recalled frontier rows (r4 verdict ask #6), committed in the
+    SAME transaction as the frontier/seen overwrite.  Ordinary wave rows
+    carry retracted = 0."""
+    for mode in ("none", "bloom", "cuckoo"):
+        eng, store, _, _ = retraction_runs[mode]
+        m = store.read(spark, "wave_metrics")
+        rows = [r.asDict() for r in m.collect()]
+        retr = [r for r in rows if r["retracted"] > 0]
+        assert len(retr) == 1, mode
+        assert retr[0]["retracted"] == 7, mode
+        assert (
+            retr[0]["urls_in"] == 0
+            and retr[0]["urls_new"] == 0
+            and retr[0]["fetched"] == 0
+            and retr[0]["errors"] == 0
+        ), mode
+        # the event is stamped with the wave it interrupted (phase 1 ran 2
+        # waves: 0 and 1)
+        assert retr[0]["wave"] == 1, mode
+        assert all(r["retracted"] == 0 for r in rows if r is not retr[0]), mode
+
+
 def test_bloom_mode_rebuilds_after_retraction(retraction_runs):
     """In bloom mode the retraction invalidates the sidecar stamp; the next
     wave's _sidecar() must have rebuilt it to cover the live seen set."""
