@@ -51,6 +51,27 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _ambient_bw_gbps() -> float | None:
+    """Single-thread memcpy bandwidth (GB/s), best of 3 — the same ambient
+    channel the scaling protocol gates on.  Recorded in the bench JSON so a
+    reading taken in a degraded host window (observed span on this VM:
+    5.3-11.1 GB/s with load ~0) carries its own explanation; every
+    BASELINE.md headline was measured at >= 10.4 GB/s."""
+    try:
+        import numpy as np
+
+        a = np.ones(200_000_000, dtype=np.uint8)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            a.copy()
+            dt = time.perf_counter() - t0
+            best = max(best, a.nbytes * 2 / dt / 1e9)
+        return round(best, 2)
+    except Exception:
+        return None
+
+
 def _bench_fixture(
     n_pages: int, with_images: bool, tag: str, hosts_per_source: int | None = None
 ) -> str:
@@ -74,6 +95,7 @@ _SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
 def main() -> None:
+    bw_start = _ambient_bw_gbps()
     spark = get_spark(
         app="csxj-bench", master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
@@ -263,6 +285,8 @@ def main() -> None:
         "images_decoded": n_img,
         "images_kept_after_prune": n_kept,
         "cpus": int(CPUS),
+        "ambient_bw_gbps_start": bw_start,
+        "ambient_bw_gbps_end": _ambient_bw_gbps(),
         **scaling,
     }
     print(json.dumps(out))
