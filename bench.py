@@ -117,6 +117,11 @@ def main() -> None:
         "q10_minhash_lsh": dedupops.q_dedup_minhash_lsh,
         "q13_simhash": dedupops.q_dedup_simhash,
         "q14_lsh_ann": simops.q_sim_lsh_ann,
+        # q16 — dedup cluster resolution: MinHash-LSH pairs → distributed
+        # large-star/small-star connected components → one canonical doc per
+        # cluster.  Timed end-to-end including the iterative CC rounds
+        # (operators/graph.py) — the iterations ARE the operator's cost.
+        "q16_dedup_clusters": dedupops.q_dedup_clusters,
     }
 
     from pyspark.sql import functions as F

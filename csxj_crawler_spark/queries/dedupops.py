@@ -238,6 +238,36 @@ def q_dedup_simhash(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Cluster resolution — the stage after pair generation in a production
+    dedup pipeline: MinHash-LSH candidate pairs → transitive closure via
+    distributed large-star/small-star connected components
+    (operators/graph.py) → one canonical document per cluster (the smallest
+    doc_id), with every document labelled ``(cluster_id, cluster_size,
+    keep)``.  ``keep`` is the dedup decision: exactly one true per cluster,
+    singletons keep themselves.  Oracled against an independent pure-Python
+    union-find over the same brute-force pair set."""
+    from pyspark.sql import Window
+
+    from csxj_crawler_spark.operators.graph import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    labelled = docs.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return labelled.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def q_membership_cuckoo(spark, sf_dir) -> DataFrame:
     """D5 — the engine's WIRED cuckoo sidecar path (``seen_filter="cuckoo"``:
     build_cuckoos → cuckoo_update(dels=retraction batch) → cuckoo_probe_maybe,
@@ -332,9 +362,11 @@ def _capped_bucket_pairs(buckets: dict, cap: int) -> set:
     return pairs
 
 
-def _sql_dedup_minhash() -> str:
+def _ref_minhash_pairs() -> list[tuple]:
+    """Independent brute-force MinHash-LSH pair set over the oracle docs
+    (shared by the pair oracle AND the cluster oracle): per-doc reference
+    signatures, dict-of-buckets banding, occupancy cap, est >= 0.5."""
     from csxj_crawler_spark import spec
-    from csxj_crawler_spark.queries._fixture import values_sql
 
     sigs = {r["doc_id"]: _ref_minhash(r["text"]) for r in _oracle_docs()}
     buckets: dict = {}
@@ -347,9 +379,15 @@ def _sql_dedup_minhash() -> str:
         est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / N_HASHES
         if est >= 0.5:
             rows.append((a, b, est))  # k/64 is exact in <=6 decimals
+    return rows
+
+
+def _sql_dedup_minhash() -> str:
+    from csxj_crawler_spark.queries._fixture import values_sql
+
     return values_sql(
         [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
-        rows,
+        _ref_minhash_pairs(),
     )
 
 
@@ -446,11 +484,57 @@ def _sql_membership_cuckoo() -> str:
     return values_sql([("doc_id", "BIGINT"), ("definitely_new", "BOOLEAN")], out)
 
 
+def _sql_dedup_clusters() -> str:
+    """VALUES oracle for ``q_dedup_clusters``: a classic sequential
+    union-find (path compression + union-by-root-min) over the SAME
+    brute-force pair set the pair oracle emits — an independent sequential
+    algorithm against the engine's distributed large-star/small-star, so a
+    bug in either closure implementation breaks the hash match."""
+    from csxj_crawler_spark.queries._fixture import values_sql
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, _est in _ref_minhash_pairs():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller so the final
+            # representative is the cluster MIN (the canonical doc)
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    doc_ids = [r["doc_id"] for r in _oracle_docs()]
+    cluster = {d: find(d) for d in doc_ids}
+    size: dict[int, int] = {}
+    for c in cluster.values():
+        size[c] = size.get(c, 0) + 1
+    rows = [
+        (d, cluster[d], size[cluster[d]], d == cluster[d]) for d in doc_ids
+    ]
+    return values_sql(
+        [
+            ("doc_id", "BIGINT"),
+            ("cluster_id", "BIGINT"),
+            ("cluster_size", "BIGINT"),
+            ("keep", "BOOLEAN"),
+        ],
+        rows,
+    )
+
+
 def QUERIES() -> dict[str, tuple]:
-    """Callable (like crawlops.QUERIES) because the MinHash/SimHash/cuckoo
-    oracles compute literal VALUES from the oracle-SF documents table."""
+    """Callable (like crawlops.QUERIES) because the MinHash/SimHash/cuckoo/
+    cluster oracles compute literal VALUES from the oracle-SF documents
+    table."""
     return {
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_dedup_minhash()),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+        "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
         "membership_cuckoo": (q_membership_cuckoo, _sql_membership_cuckoo()),
     }
